@@ -1,0 +1,102 @@
+"""Typed system configuration.
+
+Replaces the reference's three config layers — CLI flags
+(/root/reference/src/main_vi_slam.cpp:26-44), roslaunch files, and the
+calibration XML doubling as system config
+(/root/reference/calibration/calibrationEUROC.xml:43-70, parsed at
+/root/reference/src/CameraModel.cpp:25-42) — with one typed dataclass tree.
+All shape-determining fields are static Python ints so they can be closed
+over by jit without retracing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class FrontendConfig:
+    """Detection / description / matching configuration.
+
+    The fixed capacities replace the reference's variable keypoint counts
+    (grid filter num_cells=49, calibrationEUROC.xml:54) with TPU-friendly
+    static shapes: top-k per grid cell, masked padding elsewhere.
+    """
+
+    # Detection
+    num_levels: int = 4            # pyramid levels (reference builds 5, uses 4)
+    grid_rows: int = 8
+    grid_cols: int = 8
+    kp_per_cell: int = 8           # => max_keypoints = 8*8*8 = 512
+    nms_radius: int = 2
+    harris_k: float = 0.04
+    min_score: float = 1e-4        # relative corner-score floor
+    # Description
+    patch_size: int = 16           # descriptor support window (pixels, level-local)
+    desc_dim: int = 128            # SIFT-like 4x4x8
+    # Matching
+    ratio_thresh: float = 0.8      # Lowe ratio (reference Matcher.cpp:158 uses 0.8)
+    mutual_check: bool = True
+    max_matches: int = 512
+    match_cell_rows: int = 7       # reference grid filter ~ sqrt(49) (Matcher.cpp:171-244)
+    match_cell_cols: int = 7
+
+    @property
+    def max_keypoints(self) -> int:
+        return self.grid_rows * self.grid_cols * self.kp_per_cell
+
+
+@dataclasses.dataclass(frozen=True)
+class BackendConfig:
+    """Two-view solver + sliding-window BA configuration."""
+
+    # Rotation-compensated translation RANSAC (role of F2FRansac,
+    # /root/reference/src/VISystem.cpp:612-769: 1000 iters, threshold 370).
+    ransac_hyps: int = 512         # vectorized hypotheses per frame
+    ransac_thresh: float = 0.02    # normalized-ray epipolar residual threshold
+    # Sliding-window BA
+    window_size: int = 10          # keyframes (reference num_max_keyframes=10)
+    max_landmarks: int = 512
+    lm_iters: int = 8              # LM outer iterations
+    lm_lambda0: float = 1e-3
+    huber_delta: float = 2.0       # pixels (robust loss; reference had Tukey, disabled)
+    min_depth: float = 0.05
+    max_depth: float = 200.0
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Keyframe policy + engine behavior.
+
+    The reference's manual-keyboard keyframe promotion
+    (/root/reference/src/VISystem.cpp:364-375) becomes this automatic policy
+    with its own coded thresholds (22 px disparity / 5 deg rotation,
+    /root/reference/src/VISystem.cpp:313-316).
+    """
+
+    kf_disparity_px: float = 22.0
+    kf_rotation_deg: float = 5.0
+    min_feature_ratio: float = 0.35   # skip frame if matches < ratio * kf kpts (VISystem.cpp:297)
+    use_gt_scale: bool = True         # reference parity mode (GT-scaled translation)
+    imu_window: int = 16              # padded IMU samples per frame (EUROC: 10)
+    gravity: float = 9.81             # reference uses 9.68 (src/Imu.cpp:337); see SURVEY §7
+
+
+@dataclasses.dataclass(frozen=True)
+class SystemConfig:
+    frontend: FrontendConfig = dataclasses.field(default_factory=FrontendConfig)
+    backend: BackendConfig = dataclasses.field(default_factory=BackendConfig)
+    engine: EngineConfig = dataclasses.field(default_factory=EngineConfig)
+    # Padded image size the compute path runs at; input is padded/masked to this.
+    image_height: int = 480
+    image_width: int = 768            # EUROC 752 padded to 6*128 for TPU lanes
+    dtype: str = "float32"
+
+    @staticmethod
+    def euroc() -> "SystemConfig":
+        return SystemConfig()
+
+    @staticmethod
+    def kitti() -> "SystemConfig":
+        return SystemConfig(image_height=376, image_width=1280)
