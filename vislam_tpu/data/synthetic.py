@@ -217,9 +217,15 @@ def write_euroc_fixture(
         if static_prefix_s > 0:
             n_static = int(static_prefix_s * (seq["calib"].rate_imu_hz or 200.0))
             t_start = int(seq["imu_t_ns"][0]) - n_static * dt_imu_ns
+            # A static-but-biased sensor reads its bias (gyro) and bias +
+            # gravity reaction (accel).
+            bg, ba = cfg.gyro_bias, cfg.accel_bias
             g = cfg.gravity
             for k in range(n_static):
-                f.write(f"{t_start + k * dt_imu_ns},0,0,0,0,0,{g}\n")
+                f.write(
+                    f"{t_start + k * dt_imu_ns},{bg[0]},{bg[1]},{bg[2]},"
+                    f"{ba[0]},{ba[1]},{ba[2] + g}\n"
+                )
         for t, w, a in zip(seq["imu_t_ns"], seq["imu_gyro"], seq["imu_accel"]):
             f.write(
                 f"{int(t)},{w[0]},{w[1]},{w[2]},{a[0]},{a[1]},{a[2]}\n"
