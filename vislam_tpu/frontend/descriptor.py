@@ -1,0 +1,141 @@
+"""Batched SIFT-style descriptors (4x4 spatial x 8 orientation bins = 128-D).
+
+Role of the reference's descriptor extraction (SURF/ORB/... via OpenCV
+detectAndCompute, /root/reference/src/Camera.cpp:84-92), redesigned as one
+batched gather + einsum program: all K keypoints are described in a single
+fixed-shape computation — no per-keypoint loops.
+
+TPU formulation: the trilinear spatial soft-assignment weights are *static*
+per sample position (a fixed (S, 16) matrix baked at import), and the
+orientation soft-assignment is a (K, S, 8) one-hot blend; the histogram is
+then a single einsum contraction over samples that lands on the MXU:
+
+    desc[k, cell, obin] = sum_s mag[k,s] * W_spatial[s, cell] * O[k, s, obin]
+
+The descriptor layout is real SIFT: rotated 16x16 gradient samples around the
+keypoint, gradient angles relative to the keypoint orientation, Gaussian
+spatial weighting, L2-normalize -> clip 0.2 -> renormalize.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from vislam_tpu.frontend.pyramid import scharr_gradients, gaussian_blur
+
+_GRID = 16           # 16x16 gradient samples
+_CELLS = 4           # 4x4 spatial cells
+_NBINS = 8           # orientation bins
+_S = _GRID * _GRID
+DESC_DIM = _CELLS * _CELLS * _NBINS  # 128
+
+
+def _bilinear_gather(img, coords):
+    """Sample img (H,W) at float coords (...,2) [u,v] with bilinear interp."""
+    H, W = img.shape
+    u = coords[..., 0]
+    v = coords[..., 1]
+    u0 = jnp.floor(u)
+    v0 = jnp.floor(v)
+    du = u - u0
+    dv = v - v0
+    u0i = jnp.clip(u0.astype(jnp.int32), 0, W - 2)
+    v0i = jnp.clip(v0.astype(jnp.int32), 0, H - 2)
+    flat = img.reshape(-1)
+
+    def take(vi, ui):
+        return jnp.take(flat, vi * W + ui)
+
+    p00 = take(v0i, u0i)
+    p01 = take(v0i, u0i + 1)
+    p10 = take(v0i + 1, u0i)
+    p11 = take(v0i + 1, u0i + 1)
+    return (
+        p00 * (1 - du) * (1 - dv)
+        + p01 * du * (1 - dv)
+        + p10 * (1 - du) * dv
+        + p11 * du * dv
+    )
+
+
+def _static_geometry(patch_scale: float):
+    """Static sample grid: offsets (S,2), spatial-weight matrix (S,16) with
+    trilinear cell weights x Gaussian window folded in."""
+    step = patch_scale * 2.0 * _CELLS / _GRID
+    c = (_GRID - 1) / 2.0
+    ii, jj = np.meshgrid(np.arange(_GRID), np.arange(_GRID), indexing="ij")
+    dy = (ii - c) * step
+    dx = (jj - c) * step
+    offs = np.stack([dx.reshape(-1), dy.reshape(-1)], -1).astype(np.float32)
+
+    cell_x = ((jj + 0.5) / _GRID * _CELLS - 0.5).reshape(-1)
+    cell_y = ((ii + 0.5) / _GRID * _CELLS - 0.5).reshape(-1)
+    r2 = (dx ** 2 + dy ** 2).reshape(-1)
+    sigma = _GRID * step / 2.0
+    gauss = np.exp(-r2 / (2.0 * sigma * sigma)).astype(np.float32)
+
+    W_sp = np.zeros((_S, _CELLS * _CELLS), np.float32)
+    x0 = np.floor(cell_x).astype(int)
+    y0 = np.floor(cell_y).astype(int)
+    fx = cell_x - x0
+    fy = cell_y - y0
+    for sx, wx in ((x0, 1.0 - fx), (x0 + 1, fx)):
+        for sy, wy in ((y0, 1.0 - fy), (y0 + 1, fy)):
+            ok = (sx >= 0) & (sx < _CELLS) & (sy >= 0) & (sy < _CELLS)
+            idx = np.clip(sy, 0, _CELLS - 1) * _CELLS + np.clip(sx, 0, _CELLS - 1)
+            w = np.where(ok, wx * wy, 0.0) * gauss
+            np.add.at(W_sp, (np.arange(_S), idx), w)
+    return offs, W_sp
+
+
+_OFFS, _WSP = _static_geometry(patch_scale=1.5)
+
+
+def describe_keypoints(img, uv, angle, smooth_sigma: float = 0.6):
+    """Describe K keypoints on one image.
+
+    img: (H, W) float32 (the pyramid level the keypoints live on)
+    uv: (K, 2) level-local pixel coords; angle: (K,) radians.
+    Returns (K, 128) float32 L2-normalized SIFT-style descriptors.
+    """
+    img_s = gaussian_blur(img, smooth_sigma, radius=2)
+    gx, gy = scharr_gradients(img_s)
+
+    ca = jnp.cos(angle)
+    sa = jnp.sin(angle)
+    offs = jnp.asarray(_OFFS)  # (S, 2)
+    rx = ca[:, None] * offs[None, :, 0] - sa[:, None] * offs[None, :, 1]
+    ry = sa[:, None] * offs[None, :, 0] + ca[:, None] * offs[None, :, 1]
+    coords = uv[:, None, :] + jnp.stack([rx, ry], axis=-1)  # (K, S, 2)
+
+    gxs = _bilinear_gather(gx, coords)  # (K, S)
+    gys = _bilinear_gather(gy, coords)
+    # Rotate gradients into the keypoint frame.
+    gxr = ca[:, None] * gxs + sa[:, None] * gys
+    gyr = -sa[:, None] * gxs + ca[:, None] * gys
+    mag = jnp.sqrt(gxr * gxr + gyr * gyr + 1e-12)
+    ori = jnp.arctan2(gyr, gxr)
+
+    # Orientation soft-assignment (K, S, 8).
+    obin = (ori / (2.0 * jnp.pi) + 0.5) * _NBINS - 0.5
+    o0 = jnp.floor(obin)
+    do = obin - o0
+    o0i = jnp.mod(o0.astype(jnp.int32), _NBINS)
+    o1i = jnp.mod(o0i + 1, _NBINS)
+    eye = jnp.eye(_NBINS, dtype=jnp.float32)
+    O = (1.0 - do)[..., None] * eye[o0i] + do[..., None] * eye[o1i]
+
+    # Histogram: contraction over samples lands on the MXU.
+    M = mag[..., None] * O  # (K, S, 8)
+    desc = jnp.einsum(
+        "ksb,sc->kcb", M, jnp.asarray(_WSP),
+        preferred_element_type=jnp.float32,
+    )  # (K, 16, 8)
+    desc = desc.reshape(uv.shape[0], DESC_DIM)
+
+    # SIFT normalization: L2 -> clip 0.2 -> L2.
+    desc = desc / jnp.maximum(jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-9)
+    desc = jnp.minimum(desc, 0.2)
+    desc = desc / jnp.maximum(jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-9)
+    return desc

@@ -1,0 +1,56 @@
+"""Per-frame feature extraction: pyramid -> detect -> describe, one jit graph.
+
+Role of the reference's Camera::Update + detectAndComputeFeatures
+(/root/reference/src/Camera.cpp:63-92) producing the per-frame Frame record
+(/root/reference/include/Camera.hpp:46-67), as a single fixed-shape pytree.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from vislam_tpu.frontend.pyramid import build_pyramid
+from vislam_tpu.frontend.detect import detect_keypoints
+from vislam_tpu.frontend.descriptor import describe_keypoints
+from vislam_tpu.utils.config import FrontendConfig
+
+
+class Features(NamedTuple):
+    """Fixed-capacity per-frame features (the engine's Frame analog)."""
+
+    uv: jnp.ndarray      # (K, 2) float32, level-0 pixel coords
+    desc: jnp.ndarray    # (K, D) float32
+    score: jnp.ndarray   # (K,) float32
+    level: jnp.ndarray   # (K,) int32
+    angle: jnp.ndarray   # (K,) float32
+    mask: jnp.ndarray    # (K,) bool
+
+    @property
+    def count(self):
+        return jnp.sum(self.mask)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def extract_features(image, cfg: FrontendConfig = FrontendConfig()) -> Features:
+    """image: (H, W) float32 in [0, 255] -> Features with K = cfg.max_keypoints."""
+    pyr = build_pyramid(image, cfg.num_levels)
+    kps = detect_keypoints(
+        pyr,
+        grid_rows=cfg.grid_rows,
+        grid_cols=cfg.grid_cols,
+        kp_per_cell=cfg.kp_per_cell,
+        nms_radius=cfg.nms_radius,
+        min_score_rel=cfg.min_score,
+        border=cfg.patch_size // 2 + 4,
+        levels_used=1,
+    )
+    angle = kps.angle if cfg.oriented else jnp.zeros_like(kps.angle)
+    desc = describe_keypoints(pyr[0], kps.uv, angle)
+    return Features(
+        uv=kps.uv, desc=desc, score=kps.score,
+        level=kps.level, angle=kps.angle, mask=kps.mask,
+    )

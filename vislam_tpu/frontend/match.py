@@ -1,0 +1,106 @@
+"""Batched descriptor matching: one MXU distance matrix + masked top-2.
+
+Role of the reference Matcher (/root/reference/src/Matcher.cpp): bidirectional
+2-NN brute force (:83-94), Lowe ratio 0.8 (nnFilter, :148-169), symmetry /
+cross-check (computeSymMatches, :96-144), and the best-per-grid-cell spatial
+dedup (bestMatchesFilter, :171-244). The CUDA variant (MatcherGPU.cpp:44-66)
+does the same knnMatch on device. Here the whole chain is a single fused
+fixed-shape computation: D = ||a||^2 + ||b||^2 - 2 a.b on the MXU, two-pass
+masked min for top-2 in both directions, boolean masks for ratio + mutual
+checks, and a segment-min for per-cell dedup. No dynamic shapes anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+_BIG = 1e9
+
+
+class Matches(NamedTuple):
+    """Fixed-capacity match set from frame A to frame B.
+
+    idx_b[k] = matched B-keypoint row for A-keypoint k (undefined when
+    mask[k] is False); dist is the L2 descriptor distance.
+    """
+
+    idx_b: jnp.ndarray  # (K,) int32
+    dist: jnp.ndarray   # (K,) float32
+    mask: jnp.ndarray   # (K,) bool
+
+
+def _top2_min(D):
+    """Row-wise two smallest values + argmin. D: (M, N) -> (min1, min2, arg1)."""
+    min1 = jnp.min(D, axis=1)
+    arg1 = jnp.argmin(D, axis=1)
+    D2 = D.at[jnp.arange(D.shape[0]), arg1].set(_BIG)
+    min2 = jnp.min(D2, axis=1)
+    return min1, min2, arg1
+
+
+def match_descriptors(
+    desc_a,
+    mask_a,
+    desc_b,
+    mask_b,
+    uv_a=None,
+    ratio: float = 0.8,
+    mutual: bool = True,
+    cell_rows: int = 0,
+    cell_cols: int = 0,
+    image_size=None,
+) -> Matches:
+    """Match descriptors A->B with ratio, mutual, and optional grid dedup.
+
+    desc_*: (K, D) L2-normalized descriptors; mask_*: (K,) validity.
+    If cell_rows/cols > 0 and uv_a/image_size are given, keep only the
+    best (smallest-distance) match per spatial grid cell of image A —
+    the reference's bestMatchesFilter semantics with static shapes.
+    """
+    # Squared L2 distances via MXU matmul.
+    sq_a = jnp.sum(desc_a * desc_a, axis=-1, keepdims=True)      # (K,1)
+    sq_b = jnp.sum(desc_b * desc_b, axis=-1, keepdims=True).T    # (1,K)
+    cross = jnp.dot(desc_a, desc_b.T, preferred_element_type=jnp.float32)
+    D = jnp.maximum(sq_a + sq_b - 2.0 * cross, 0.0)
+
+    # Invalidate padded rows/cols.
+    D = jnp.where(mask_a[:, None] & mask_b[None, :], D, _BIG)
+
+    min1, min2, arg1 = _top2_min(D)
+    ok = mask_a & (min1 < _BIG * 0.5)
+    # Lowe ratio on distances (squared dists -> ratio^2).
+    ok &= min1 < (ratio * ratio) * jnp.maximum(min2, 1e-12)
+
+    if mutual:
+        # Symmetry check: B->A argmin must point back.
+        argB = jnp.argmin(D, axis=0)  # (K,) best A row for each B col
+        ok &= argB[arg1] == jnp.arange(D.shape[0])
+
+    dist = jnp.sqrt(jnp.maximum(min1, 0.0))
+
+    if cell_rows > 0 and cell_cols > 0 and uv_a is not None and image_size is not None:
+        H, W = image_size
+        cu = jnp.clip((uv_a[:, 0] / W * cell_cols).astype(jnp.int32), 0, cell_cols - 1)
+        cv = jnp.clip((uv_a[:, 1] / H * cell_rows).astype(jnp.int32), 0, cell_rows - 1)
+        cell = cv * cell_cols + cu
+        n_cells = cell_rows * cell_cols
+        keyed = jnp.where(ok, dist, _BIG)
+        # Best distance per cell via scatter-min, then keep only the argmin row.
+        cell_best = jnp.full((n_cells,), _BIG, keyed.dtype).at[cell].min(keyed)
+        is_best = ok & (keyed <= cell_best[cell] + 1e-12)
+        # Break exact ties by keypoint row order: first best in each cell wins.
+        row = jnp.arange(keyed.shape[0], dtype=jnp.int32)
+        row_keyed = jnp.where(is_best, row, jnp.int32(2 ** 30))
+        first_best = jnp.full((n_cells,), 2 ** 30, jnp.int32).at[cell].min(row_keyed)
+        ok = is_best & (row == first_best[cell])
+
+    return Matches(idx_b=arg1.astype(jnp.int32), dist=dist, mask=ok)
+
+
+def gather_matched(uv_a, uv_b, matches: Matches):
+    """Convenience: matched coordinate pairs (K,2),(K,2) with mask."""
+    uv_b_m = jnp.take(uv_b, matches.idx_b, axis=0)
+    return uv_a, uv_b_m, matches.mask

@@ -31,10 +31,13 @@ class FrontendConfig:
     kp_per_cell: int = 8           # => max_keypoints = 8*8*8 = 512
     nms_radius: int = 2
     harris_k: float = 0.04
-    min_score: float = 1e-4        # relative corner-score floor
+    min_score: float = 0.02        # relative corner-score floor (quality level)
     # Description
     patch_size: int = 16           # descriptor support window (pixels, level-local)
     desc_dim: int = 128            # SIFT-like 4x4x8
+    oriented: bool = False         # rotate descriptors by keypoint orientation;
+                                   # upright is more stable for frame-to-frame VIO
+                                   # (roll between consecutive frames is tiny)
     # Matching
     ratio_thresh: float = 0.8      # Lowe ratio (reference Matcher.cpp:158 uses 0.8)
     mutual_check: bool = True
