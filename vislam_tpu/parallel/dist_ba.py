@@ -1,0 +1,133 @@
+"""Distributed sliding-window bundle adjustment over a device mesh.
+
+The landmark dimension is sharded across the mesh 'map' axis; each device
+builds the normal-equation blocks for its landmark shard, the reduced camera
+system (S, rhs) and the pose blocks (Hpp, bp) are summed with psum over ICI,
+every device solves the tiny replicated (6W, 6W) system, and landmark updates
+back-substitute locally — zero landmark data ever moves between devices.
+
+This is the TPU-native replacement for a capability the reference lacks
+entirely (SURVEY.md §2 'Parallelism inventory': none), and the core of
+BASELINE.json's north star: 'distributed BA reducing landmark Schur
+complements via all-reduce/reduce-scatter collectives over ICI'.
+
+Communication cost per LM iteration: one psum of (W,6,6)+(W,W,6,6)+(W,6)*2
+~ O(W^2) floats — independent of L, so scaling efficiency approaches 100%
+as L grows.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from vislam_tpu.backend.ba import (
+    BAProblem,
+    BAState,
+    _apply_update,
+    build_normal_equations,
+    robust_cost,
+    schur_solve,
+)
+
+
+def shard_problem(state: BAState, prob: BAProblem, mesh: Mesh, axis: str = "map"):
+    """Place the problem on the mesh: landmarks sharded, poses replicated.
+
+    Pads L up to a multiple of the axis size if needed (masked padding rows).
+    """
+    n = mesh.shape[axis]
+    L = state.X.shape[0]
+    pad = (-L) % n
+    if pad:
+        state = BAState(
+            R=state.R,
+            t=state.t,
+            X=jnp.concatenate([state.X, jnp.ones((pad, 3), state.X.dtype)], 0),
+        )
+        prob = BAProblem(
+            obs_uv=jnp.concatenate(
+                [prob.obs_uv, jnp.zeros((prob.obs_uv.shape[0], pad, 2), prob.obs_uv.dtype)], 1
+            ),
+            obs_mask=jnp.concatenate(
+                [prob.obs_mask, jnp.zeros((prob.obs_mask.shape[0], pad), bool)], 1
+            ),
+            fx=prob.fx, fy=prob.fy, cx=prob.cx, cy=prob.cy,
+        )
+    state = BAState(
+        R=jax.device_put(state.R, NamedSharding(mesh, P())),
+        t=jax.device_put(state.t, NamedSharding(mesh, P())),
+        X=jax.device_put(state.X, NamedSharding(mesh, P(axis))),
+    )
+    prob = BAProblem(
+        obs_uv=jax.device_put(prob.obs_uv, NamedSharding(mesh, P(None, axis))),
+        obs_mask=jax.device_put(prob.obs_mask, NamedSharding(mesh, P(None, axis))),
+        fx=prob.fx, fy=prob.fy, cx=prob.cx, cy=prob.cy,
+    )
+    return state, prob
+
+
+def dist_bundle_adjust(
+    state: BAState,
+    prob: BAProblem,
+    mesh: Mesh,
+    axis: str = "map",
+    iters: int = 8,
+    lam0: float = 1e-3,
+    huber_delta: float = 2.0,
+    fix_first: bool = True,
+):
+    """Sharded LM loop. state/prob must be placed by shard_problem first."""
+
+    fx, fy, cx, cy = prob.fx, prob.fy, prob.cx, prob.cy  # static scalars
+
+    def lm_scan(R, t, X, obs_uv, obs_mask):
+        pr = BAProblem(obs_uv=obs_uv, obs_mask=obs_mask, fx=fx, fy=fy, cx=cx, cy=cy)
+
+        def local_cost(st):
+            return jax.lax.psum(robust_cost(st, pr, huber_delta), axis)
+
+        def step(carry, _):
+            s, lam, cost = carry
+            Hpp, Hpl, Hll, bp, bl, _ = build_normal_equations(s, pr, huber_delta)
+            dxi, dX = schur_solve(
+                Hpp, Hpl, Hll, bp, bl, lam, fix_first, axis_name=axis
+            )
+            cand = _apply_update(s, dxi, dX)
+            cand_cost = local_cost(cand)
+            all_dX_finite = (
+                jax.lax.psum(jnp.all(jnp.isfinite(dX)).astype(jnp.int32), axis)
+                == mesh.shape[axis]
+            )
+            finite = jnp.isfinite(cand_cost) & jnp.all(jnp.isfinite(dxi)) & all_dX_finite
+            accept = finite & (cand_cost < cost)
+            new_s = jax.tree.map(lambda a, b: jnp.where(accept, a, b), cand, s)
+            new_lam = jnp.where(accept, jnp.maximum(lam * 0.3, 1e-8), lam * 4.0)
+            new_cost = jnp.where(accept, cand_cost, cost)
+            return (new_s, new_lam, new_cost), new_cost
+
+        st = BAState(R=R, t=t, X=X)
+        cost0 = local_cost(st)
+        (s, lam, cost), costs = jax.lax.scan(
+            step, (st, jnp.asarray(lam0, jnp.float32), cost0), None, length=iters
+        )
+        return s.R, s.t, s.X, costs, cost0
+
+    fn = shard_map(
+        lm_scan,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(None, axis), P(None, axis)),
+        out_specs=(P(), P(), P(axis), P(), P()),
+        check_rep=False,
+    )
+    R, t, X, costs, cost0 = jax.jit(fn)(
+        state.R, state.t, state.X, prob.obs_uv, prob.obs_mask
+    )
+    return (
+        BAState(R=R, t=t, X=X),
+        {"costs": costs, "final_cost": costs[-1], "initial_cost": cost0},
+    )
