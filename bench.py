@@ -1,0 +1,135 @@
+"""Benchmark: frames/sec/chip of the full jitted VIO frame step.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no numbers (BASELINE.md), so the baseline is
+established here by running the reference's algorithmics — OpenCV SIFT
+detect+describe, bidirectional 2-NN BF matching with ratio+symmetry filters,
+essential-matrix RANSAC — in optimized OpenCV C++ on the same frames on this
+host's CPU (the reference is a single-threaded CPU pipeline). vs_baseline is
+our TPU frames/sec divided by that number.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def _make_frames(n_frames: int = 24):
+    from vislam_tpu.data.synthetic import SyntheticConfig, make_synthetic_sequence
+
+    seq = make_synthetic_sequence(
+        SyntheticConfig(n_frames=n_frames, n_landmarks=300, seed=0)
+    )
+    return seq
+
+
+def bench_tpu(seq, n_steps: int = 60) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from vislam_tpu.engine import VIOEngine
+
+    eng = VIOEngine(seq["calib"])
+    state = eng.initialize(
+        seq["images"][0], q_wb0=seq["gt_quat"][0],
+        v_w0=seq["gt_vel"][0], p_w0=seq["gt_pos"][0],
+    )
+    imu = np.zeros((16, 6), np.float32)
+    imu[:10] = np.concatenate([seq["imu_gyro"][:10], seq["imu_accel"][:10]], -1)
+    dt = np.zeros(16, np.float32)
+    dt[:10] = 1 / 200.0
+    imu_j = jnp.asarray(imu)
+    dt_j = jnp.asarray(dt)
+    images = [jnp.asarray(img, jnp.float32) for img in seq["images"][1:]]
+    gt = jnp.asarray(0.05, jnp.float32)
+    key = __import__("jax").random.PRNGKey(0)
+
+    # Warmup / compile.
+    s, r = eng._step(state, images[0], imu_j, dt_j, gt, key)
+    jax.block_until_ready(r.p_wc)
+
+    t0 = time.perf_counter()
+    s = state
+    for i in range(n_steps):
+        img = images[i % len(images)]
+        s, r = eng._step(s, img, imu_j, dt_j, gt, key)
+    jax.block_until_ready(r.p_wc)
+    wall = time.perf_counter() - t0
+    return n_steps / wall
+
+
+def bench_reference_cpu(seq, n_steps: int = 12) -> float:
+    """Reference algorithmics (SIFT + BF 2NN x2 + ratio + symmetry + RANSAC)
+    on this host CPU via OpenCV — the stand-in for the reference's unpublished
+    numbers, per BASELINE.md."""
+    import cv2
+
+    try:
+        det = cv2.SIFT_create(nfeatures=512)
+        norm = cv2.NORM_L2
+    except AttributeError:
+        det = cv2.ORB_create(nfeatures=512)
+        norm = cv2.NORM_HAMMING
+    bf = cv2.BFMatcher(norm)
+    K = np.array(
+        [[seq["calib"].fx, 0, seq["calib"].cx],
+         [0, seq["calib"].fy, seq["calib"].cy], [0, 0, 1.0]]
+    )
+    imgs = [np.asarray(im) for im in seq["images"]]
+
+    # Warm caches.
+    det.detectAndCompute(imgs[0], None)
+
+    t0 = time.perf_counter()
+    prev_kp, prev_desc = None, None
+    done = 0
+    for i in range(n_steps + 1):
+        img = imgs[i % len(imgs)]
+        kp, desc = det.detectAndCompute(img, None)
+        if prev_desc is not None and desc is not None and len(desc) > 8:
+            m_ab = bf.knnMatch(prev_desc, desc, k=2)
+            m_ba = bf.knnMatch(desc, prev_desc, k=2)
+
+            def ratio_ok(pairs):
+                out = {}
+                for p in pairs:
+                    if len(p) == 2 and p[0].distance < 0.8 * p[1].distance:
+                        out[p[0].queryIdx] = p[0].trainIdx
+                return out
+
+            fwd = ratio_ok(m_ab)
+            bwd = ratio_ok(m_ba)
+            sym = [(q, t) for q, t in fwd.items() if bwd.get(t) == q]
+            if len(sym) >= 8:
+                p1 = np.float32([prev_kp[q].pt for q, _ in sym])
+                p2 = np.float32([kp[t].pt for _, t in sym])
+                cv2.findEssentialMat(p1, p2, K, method=cv2.RANSAC,
+                                     prob=0.999, threshold=1.0)
+            done += 1
+        prev_kp, prev_desc = kp, desc
+    wall = time.perf_counter() - t0
+    return done / wall
+
+
+def main():
+    seq = _make_frames()
+    fps = bench_tpu(seq)
+    base = bench_reference_cpu(seq)
+    print(
+        json.dumps(
+            {
+                "metric": "vio_frames_per_sec_per_chip",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / base, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

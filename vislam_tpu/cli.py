@@ -1,0 +1,171 @@
+"""Command-line runner.
+
+Role of the reference's CLI entry (/root/reference/src/main_vi_slam.cpp:24-44:
+flags -gtFile -imagesPath -imuFile -calibrationFile -outputFile and the main
+frame loop :114-355): dataset ingestion, per-frame engine stepping, trajectory
+CSV streaming, final wall-time and ATE report.
+
+Usage:
+  python -m vislam_tpu.cli --dataset /path/to/euroc_seq --output traj.csv
+  python -m vislam_tpu.cli --synthetic 60 --output traj.csv
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="TPU-native visual-inertial SLAM")
+    ap.add_argument("--dataset", help="EUROC-layout sequence directory")
+    ap.add_argument("--synthetic", type=int, default=0,
+                    help="run on a generated synthetic sequence of N frames")
+    ap.add_argument("--calibration", default="euroc",
+                    help="euroc | kitti | tum | path to OpenCV-XML file")
+    ap.add_argument("--output", default="outputVISlam.csv", help="trajectory CSV")
+    ap.add_argument("--start", type=int, default=None, help="first frame index")
+    ap.add_argument("--end", type=int, default=None, help="last frame index (excl)")
+    ap.add_argument("--gt-scale", action="store_true", default=True,
+                    help="use GT translation norm for monocular scale (reference parity)")
+    ap.add_argument("--imu-scale", dest="gt_scale", action="store_false",
+                    help="use IMU preintegration for scale instead of GT")
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+
+    from vislam_tpu import lie
+    from vislam_tpu.calib import euroc_calib, kitti_calib, tum_calib, load_opencv_xml
+    from vislam_tpu.engine import VIOEngine
+    from vislam_tpu.eval import ate_rmse, write_trajectory_csv
+    from vislam_tpu.utils.timing import StageTimer
+
+    timer = StageTimer()
+    rows = []
+    est_positions = []
+    gt_positions = []
+
+    if args.synthetic:
+        from vislam_tpu.data import SyntheticConfig, make_synthetic_sequence
+
+        seq = make_synthetic_sequence(
+            SyntheticConfig(n_frames=args.synthetic, n_landmarks=300, seed=0)
+        )
+        calib = seq["calib"]
+        eng = VIOEngine(calib)
+        state = eng.initialize(
+            seq["images"][0], q_wb0=seq["gt_quat"][0],
+            v_w0=seq["gt_vel"][0], p_w0=seq["gt_pos"][0],
+        )
+        last_kf = 0
+        t0 = time.perf_counter()
+        for j in range(1, args.synthetic):
+            lo, hi = (j - 1) * 10, j * 10
+            imu = np.zeros((16, 6), np.float32)
+            imu[:10] = np.concatenate(
+                [seq["imu_gyro"][lo:hi], seq["imu_accel"][lo:hi]], -1
+            )
+            dt = np.zeros(16, np.float32)
+            dt[:10] = 1 / 200.0
+            gt_norm = (
+                float(np.linalg.norm(seq["gt_pos"][j] - seq["gt_pos"][last_kf]))
+                if args.gt_scale else -1.0
+            )
+            with timer.stage("engine.step"):
+                state, res = eng.step(state, seq["images"][j], imu, dt, gt_norm)
+            if bool(res.is_keyframe):
+                last_kf = j
+            est_positions.append(np.asarray(res.p_wc))
+            gt_positions.append(seq["gt_pos"][j])
+            rows.append(dict(
+                frame=j, t_ns=int(seq["t_cam_ns"][j]), is_kf=bool(res.is_keyframe),
+                est_p=np.asarray(res.p_wc),
+                est_rpy=np.asarray(lie.quat_to_rpy(jnp.asarray(res.q_wb))),
+                est_q=np.asarray(res.q_wb), est_v=np.asarray(res.v_w),
+                gt_p=seq["gt_pos"][j], gt_rpy=seq["gt_rpy"][j],
+                gt_q=seq["gt_quat"][j], gt_v=seq["gt_vel"][j],
+            ))
+        wall = time.perf_counter() - t0
+    elif args.dataset:
+        from vislam_tpu.data import EurocDataset, PrefetchLoader
+        from vislam_tpu.inertial import static_mask, calibrate_gyro_bias
+
+        if args.calibration in ("euroc", "kitti", "tum"):
+            calib = {"euroc": euroc_calib, "kitti": kitti_calib, "tum": tum_calib}[
+                args.calibration
+            ]()
+        else:
+            calib = load_opencv_xml(args.calibration)
+        ds = EurocDataset(args.dataset)
+        start = ds.start_index if args.start is None else args.start
+        end = len(ds) if args.end is None else args.end
+
+        # Gyro bias from the stationary prefix (reference calibrates until
+        # t < 2500 ms, src/Imu.cpp:423-428).
+        g_pre, a_pre = ds.static_imu_prefix(2.5)
+        bias_g = None
+        if len(g_pre) > 50:
+            m = static_mask(jnp.asarray(g_pre), jnp.asarray(a_pre))
+            bias_g = np.asarray(calibrate_gyro_bias(jnp.asarray(g_pre), m))
+
+        eng = VIOEngine(calib)
+        fw0 = ds.frame_window(start)
+        gt_q0 = fw0.gt_quat if fw0.gt_quat is not None else np.array([1.0, 0, 0, 0])
+        gt_p0 = fw0.gt_pos if fw0.gt_pos is not None else np.zeros(3)
+        gt_v0 = fw0.gt_vel if fw0.gt_vel is not None else np.zeros(3)
+        state = eng.initialize(fw0.image, q_wb0=gt_q0, v_w0=gt_v0, p_w0=gt_p0)
+        if bias_g is not None:
+            state = state._replace(bias_g=jnp.asarray(bias_g, jnp.float32))
+
+        last_kf_pos = gt_p0
+        t0 = time.perf_counter()
+        for fw in PrefetchLoader(ds, start=start + 1, end=end):
+            gt_norm = -1.0
+            if args.gt_scale and fw.gt_pos is not None:
+                gt_norm = float(np.linalg.norm(fw.gt_pos - last_kf_pos))
+            with timer.stage("engine.step"):
+                state, res = eng.step(state, fw.image, fw.imu, fw.imu_dt, gt_norm)
+            if bool(res.is_keyframe) and fw.gt_pos is not None:
+                last_kf_pos = fw.gt_pos
+            est_positions.append(np.asarray(res.p_wc))
+            if fw.gt_pos is not None:
+                gt_positions.append(fw.gt_pos)
+            rows.append(dict(
+                frame=fw.index, t_ns=fw.t_ns, is_kf=bool(res.is_keyframe),
+                est_p=np.asarray(res.p_wc),
+                est_rpy=np.asarray(lie.quat_to_rpy(jnp.asarray(res.q_wb))),
+                est_q=np.asarray(res.q_wb), est_v=np.asarray(res.v_w),
+                gt_p=fw.gt_pos,
+                gt_rpy=None if fw.gt_quat is None
+                else np.asarray(lie.quat_to_rpy(jnp.asarray(fw.gt_quat, jnp.float32))),
+                gt_q=fw.gt_quat, gt_v=fw.gt_vel,
+            ))
+        wall = time.perf_counter() - t0
+    else:
+        ap.error("either --dataset or --synthetic is required")
+        return 2
+
+    write_trajectory_csv(args.output, rows)
+    n = len(rows)
+    print(f"processed {n} frames in {wall:.2f}s ({n / max(wall, 1e-9):.1f} fps)")
+    print(timer.report())
+    if gt_positions and len(gt_positions) == len(est_positions):
+        est = np.array(est_positions)
+        gt = np.array(gt_positions)
+        print(f"ATE RMSE (unaligned): {ate_rmse(est, gt, align=False):.4f} m")
+        print(f"ATE RMSE (SE3-aligned): {ate_rmse(est, gt):.4f} m")
+    print(f"trajectory written to {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

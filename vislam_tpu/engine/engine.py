@@ -1,0 +1,255 @@
+"""The VIO engine: one jit-compiled per-frame step.
+
+Role of the reference VISystem::AddFrame pipeline
+(/root/reference/src/VISystem.cpp:271-404) — IMU estimate, feature
+detect/describe/match, disparity, epipolar translation solve, keyframe
+policy, SE(3) track composition (Track, :1567-1635) — fused into a single
+XLA program per frame. Everything inside `step` is fixed-shape; keyframe
+promotion is a boolean that gates state updates via where(), not control
+flow, so the same compiled program serves both outcomes (the TPU idiom for
+the reference's branching).
+
+The blocking manual-keyframe UI of the reference (waitKey 'k',
+/root/reference/src/VISystem.cpp:364-375) is replaced by its own coded
+automatic thresholds (22 px disparity / 5 deg rotation, :313-316).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vislam_tpu import lie
+from vislam_tpu.calib.camera_model import CameraCalib, unproject_pixels
+from vislam_tpu.frontend.features import Features, extract_features
+from vislam_tpu.frontend.match import match_descriptors
+from vislam_tpu.frontend.pose import (
+    ransac_translation,
+    resolve_direction_sign,
+    rotation_compensated_disparity,
+)
+from vislam_tpu.inertial.filters import madgwick_scan
+from vislam_tpu.inertial.preintegration import preintegrate
+from vislam_tpu.engine.state import EngineState, init_state
+from vislam_tpu.utils.config import SystemConfig
+
+
+class FrameResult(NamedTuple):
+    """Per-frame outputs (host-side consumable)."""
+
+    p_wc: jnp.ndarray        # (3,) camera position estimate
+    R_wc: jnp.ndarray        # (3, 3)
+    q_wb: jnp.ndarray        # (4,) body orientation from the filter
+    v_w: jnp.ndarray         # (3,)
+    is_keyframe: jnp.ndarray  # () bool
+    num_matches: jnp.ndarray  # () int32
+    num_inliers: jnp.ndarray  # () int32
+    disparity: jnp.ndarray    # () float32
+    t_dir_cam: jnp.ndarray    # (3,) translation direction (new-cam frame)
+
+
+class VIOEngine:
+    """Thin host wrapper owning the static config + the jitted step."""
+
+    def __init__(self, calib: CameraCalib, cfg: SystemConfig = SystemConfig(),
+                 seed: int = 0):
+        self.calib = calib
+        self.cfg = cfg
+        self._key = jax.random.PRNGKey(seed)
+        # Camera->body rotation from the calibration extrinsic.
+        self.R_bc = jnp.asarray(calib.T_body_cam[:3, :3], jnp.float32)
+        self._step = jax.jit(self._build_step())
+
+    # ------------------------------------------------------------------ init
+    def initialize(self, image0, q_wb0=None, v_w0=None, p_w0=None) -> EngineState:
+        """First frame becomes the first keyframe (VISystem.cpp:149-153)."""
+        img = jnp.asarray(image0, jnp.float32)
+        feat0 = extract_features(img, self.cfg.frontend)
+        q0 = jnp.asarray([1.0, 0, 0, 0] if q_wb0 is None else q_wb0, jnp.float32)
+        v0 = jnp.zeros(3) if v_w0 is None else jnp.asarray(v_w0, jnp.float32)
+        p0 = jnp.zeros(3) if p_w0 is None else jnp.asarray(p_w0, jnp.float32)
+        R_wb0 = lie.quat_to_mat(q0)
+        R_wc0 = R_wb0 @ self.R_bc
+        return init_state(
+            feat0, q0, v0, p0, R_wc0,
+            window_size=self.cfg.backend.window_size,
+        )
+
+    # ------------------------------------------------------------------ step
+    def _build_step(self):
+        cfg = self.cfg
+        fe = cfg.frontend
+        be = cfg.backend
+        en = cfg.engine
+        calib = self.calib
+        fx, fy, cx, cy = calib.fx, calib.fy, calib.cx, calib.cy
+        R_bc = self.R_bc
+        kf_rot_thresh = jnp.cos(jnp.deg2rad(en.kf_rotation_deg))
+
+        def step(state: EngineState, image, imu, imu_dt, gt_t_norm, key):
+            # ---------------- inertial: orientation + preintegration
+            gyro = imu[:, :3] - state.bias_g
+            accel = imu[:, 3:] - state.bias_a
+            q_wb, _ = madgwick_scan(state.q_wb, gyro, accel, imu_dt,
+                                    beta=0.02, gravity=en.gravity)
+            pre = preintegrate(imu[:, :3], imu[:, 3:], imu_dt,
+                               bias_gyro=state.bias_g, bias_accel=state.bias_a)
+
+            # Relative camera rotation since the last *keyframe*:
+            # R_ji = R_wc_j^T R_wc_i  with R_wc = R_wb R_bc.
+            R_wb_j = lie.quat_to_mat(q_wb)
+            R_wc_j_imu = R_wb_j @ R_bc
+            R_ji = R_wc_j_imu.T @ state.kf_R_wc
+
+            # ---------------- frontend
+            feat = extract_features(image, fe)
+            m = match_descriptors(
+                state.kf_feat.desc, state.kf_feat.mask, feat.desc, feat.mask,
+                uv_a=state.kf_feat.uv,
+                ratio=fe.ratio_thresh, mutual=fe.mutual_check,
+            )
+            uv_i = state.kf_feat.uv
+            uv_j = jnp.take(feat.uv, m.idx_b, axis=0)
+            num_matches = jnp.sum(m.mask).astype(jnp.int32)
+
+            disparity = rotation_compensated_disparity(
+                uv_i, uv_j, m.mask, R_ji, fx, fy, cx, cy
+            )
+
+            # ---------------- two-view translation (direction + scale)
+            rays_i = unproject_pixels(uv_i, fx, fy, cx, cy)
+            rays_j = unproject_pixels(uv_j, fx, fy, cx, cy)
+            rays_i = rays_i / jnp.linalg.norm(rays_i, axis=-1, keepdims=True)
+            rays_j = rays_j / jnp.linalg.norm(rays_j, axis=-1, keepdims=True)
+            est = ransac_translation(
+                rays_i, rays_j, R_ji, m.mask, key,
+                num_hyps=be.ransac_hyps, thresh=be.ransac_thresh,
+            )
+            t_dir = resolve_direction_sign(rays_i, rays_j, R_ji, est.t_dir,
+                                           est.inlier_mask)
+
+            # Scale: GT norm (reference setGtRes parity, VISystem.cpp:415-419)
+            # or IMU preintegration prediction in VI mode.
+            T = pre.dt
+            g_w = jnp.array([0.0, 0.0, -en.gravity], jnp.float32)
+            R_wb_i_kf = state.kf_R_wc @ R_bc.T
+            dp_world = (
+                state.v_w * T + 0.5 * g_w * T * T + R_wb_i_kf @ pre.dp
+            )
+            imu_t_norm = jnp.linalg.norm(dp_world)
+            scale = jnp.where(gt_t_norm >= 0.0, gt_t_norm, imu_t_norm)
+            t_ji = t_dir * scale  # frame-j coords: X_j = R_ji X_i + t_ji
+
+            # ---------------- relative pose -> world pose
+            # T_cw_j = [R_ji | t_ji] ∘ T_cw_i; invert to camera-to-world.
+            R_cw_i = state.kf_R_wc.T
+            t_cw_i = -state.kf_R_wc.T @ state.kf_p_wc
+            R_cw_j = R_ji @ R_cw_i
+            t_cw_j = R_ji @ t_cw_i + t_ji
+            R_wc_j = R_cw_j.T
+            p_wc_j = -R_cw_j.T @ t_cw_j
+
+            # Solution quality gate (reference skips frames with too few
+            # matches, VISystem.cpp:297): keep IMU-only pose when weak.
+            enough = num_matches >= jnp.maximum(
+                (en.min_feature_ratio * jnp.sum(state.kf_feat.mask)).astype(jnp.int32),
+                8,
+            )
+            solved = enough & (est.num_inliers >= 8)
+            R_wc_j = jnp.where(solved, R_wc_j, R_wc_j_imu)
+            p_wc_j = jnp.where(
+                solved, p_wc_j, state.kf_p_wc + dp_world
+            )
+
+            # ---------------- keyframe policy (automatic thresholds)
+            rot_cos = 0.5 * (jnp.trace(R_ji) - 1.0)
+            is_kf = solved & (
+                (disparity > en.kf_disparity_px) | (rot_cos < kf_rot_thresh)
+            )
+
+            # ---------------- state update (where-gated, no control flow)
+            sel = lambda a, b: jnp.where(is_kf, a, b)
+            new_kf_feat = jax.tree.map(sel, feat, state.kf_feat)
+            win = state.window
+            # Roll the window left when full, write at slot `min(count, W-1)`.
+            Wn = win.uv.shape[0]
+            full = win.count >= Wn
+
+            def roll_if_full(x):
+                return jnp.where(full, jnp.roll(x, -1, axis=0), x)
+
+            rolled = win._replace(
+                uv=roll_if_full(win.uv),
+                desc=roll_if_full(win.desc),
+                kp_mask=roll_if_full(win.kp_mask),
+                R_cw=roll_if_full(win.R_cw),
+                t_cw=roll_if_full(win.t_cw),
+                valid=roll_if_full(win.valid),
+            )
+            slot = jnp.minimum(win.count, Wn - 1)
+            R_cw_new = R_wc_j.T
+            t_cw_new = -R_wc_j.T @ p_wc_j
+            updated = rolled._replace(
+                uv=rolled.uv.at[slot].set(feat.uv),
+                desc=rolled.desc.at[slot].set(feat.desc),
+                kp_mask=rolled.kp_mask.at[slot].set(feat.mask),
+                R_cw=rolled.R_cw.at[slot].set(R_cw_new),
+                t_cw=rolled.t_cw.at[slot].set(t_cw_new),
+                valid=rolled.valid.at[slot].set(True),
+                count=jnp.minimum(win.count + 1, Wn),
+            )
+            new_window = jax.tree.map(sel, updated, win)
+
+            # Velocity: from world displacement over the window (solved), else
+            # IMU propagation.
+            v_new = jnp.where(
+                solved & (T > 1e-6),
+                (p_wc_j - state.kf_p_wc) / jnp.maximum(T, 1e-6) + 0.5 * g_w * T,
+                state.v_w + g_w * T + (R_wb_i_kf @ pre.dv),
+            )
+
+            new_state = EngineState(
+                q_wb=q_wb,
+                v_w=v_new,
+                bias_g=state.bias_g,
+                bias_a=state.bias_a,
+                R_wc=jnp.where(solved, R_wc_j, R_wc_j_imu),
+                p_wc=p_wc_j,
+                kf_R_wc=sel(R_wc_j, state.kf_R_wc),
+                kf_p_wc=sel(p_wc_j, state.kf_p_wc),
+                kf_feat=new_kf_feat,
+                window=new_window,
+                frame_idx=state.frame_idx + 1,
+                kf_count=state.kf_count + is_kf.astype(jnp.int32),
+            )
+            result = FrameResult(
+                p_wc=p_wc_j,
+                R_wc=R_wc_j,
+                q_wb=q_wb,
+                v_w=v_new,
+                is_keyframe=is_kf,
+                num_matches=num_matches,
+                num_inliers=est.num_inliers,
+                disparity=disparity,
+                t_dir_cam=t_dir,
+            )
+            return new_state, result
+
+        return step
+
+    def step(self, state: EngineState, image, imu, imu_dt,
+             gt_t_norm: float = -1.0):
+        """Process one frame. gt_t_norm < 0 selects IMU (VI) scale."""
+        self._key, sub = jax.random.split(self._key)
+        return self._step(
+            state,
+            jnp.asarray(image, jnp.float32),
+            jnp.asarray(imu, jnp.float32),
+            jnp.asarray(imu_dt, jnp.float32),
+            jnp.asarray(gt_t_norm, jnp.float32),
+            sub,
+        )

@@ -1,0 +1,107 @@
+"""Engine state pytrees.
+
+Role of the reference VISystem's scattered mutable members — pose state
+(include/VISystem.hpp:81-108: positionCam/qOrientationCam/velocityCam...),
+the keyframe ring buffer (Camera::frameList + FreeLastFrame,
+/root/reference/src/VISystem.cpp:408-412), and the IMU core state — as one
+immutable fixed-shape pytree threaded through the jitted step.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from vislam_tpu.frontend.features import Features
+
+
+class KeyframeWindow(NamedTuple):
+    """Fixed-size rolling keyframe window (newest at slot `count-1` when not
+    yet full; once full, slots roll left on each promotion — the reference's
+    FIFO eviction with static shapes)."""
+
+    uv: jnp.ndarray       # (W, K, 2)
+    desc: jnp.ndarray     # (W, K, D)
+    kp_mask: jnp.ndarray  # (W, K)
+    R_cw: jnp.ndarray     # (W, 3, 3) world->camera of each keyframe estimate
+    t_cw: jnp.ndarray     # (W, 3)
+    valid: jnp.ndarray    # (W,) bool
+    count: jnp.ndarray    # () int32 number of valid keyframes
+
+
+class EngineState(NamedTuple):
+    # Inertial state (body frame b, world frame w).
+    q_wb: jnp.ndarray        # (4,) body orientation
+    v_w: jnp.ndarray         # (3,) velocity (world)
+    bias_g: jnp.ndarray      # (3,)
+    bias_a: jnp.ndarray      # (3,)
+    # Camera pose estimate, camera-to-world: X_w = R_wc X_c + p_wc.
+    R_wc: jnp.ndarray        # (3, 3)
+    p_wc: jnp.ndarray        # (3,)
+    # Last-keyframe anchor (pose + features) the frontend tracks against.
+    kf_R_wc: jnp.ndarray     # (3, 3)
+    kf_p_wc: jnp.ndarray     # (3,)
+    kf_feat: Features
+    # Rolling keyframe window for windowed BA.
+    window: KeyframeWindow
+    frame_idx: jnp.ndarray   # () int32
+    kf_count: jnp.ndarray    # () int32
+
+
+def init_window(W: int, K: int, D: int) -> KeyframeWindow:
+    return KeyframeWindow(
+        uv=jnp.zeros((W, K, 2), jnp.float32),
+        desc=jnp.zeros((W, K, D), jnp.float32),
+        kp_mask=jnp.zeros((W, K), bool),
+        R_cw=jnp.tile(jnp.eye(3, dtype=jnp.float32), (W, 1, 1)),
+        t_cw=jnp.zeros((W, 3), jnp.float32),
+        valid=jnp.zeros((W,), bool),
+        count=jnp.zeros((), jnp.int32),
+    )
+
+
+def init_state(
+    feat0: Features,
+    q_wb0,
+    v_w0,
+    p_wc0,
+    R_wc0,
+    bias_g=None,
+    bias_a=None,
+    window_size: int = 10,
+) -> EngineState:
+    """State at frame 0; feat0 becomes the first keyframe.
+
+    Mirrors the reference's init-from-GT (InitializeSystem,
+    /root/reference/src/VISystem.cpp:111-141): the initial pose/velocity come
+    from the caller (GT row or origin).
+    """
+    K, D = feat0.desc.shape
+    win = init_window(window_size, K, D)
+    R_cw0 = R_wc0.T
+    t_cw0 = -R_wc0.T @ p_wc0
+    win = win._replace(
+        uv=win.uv.at[0].set(feat0.uv),
+        desc=win.desc.at[0].set(feat0.desc),
+        kp_mask=win.kp_mask.at[0].set(feat0.mask),
+        R_cw=win.R_cw.at[0].set(R_cw0),
+        t_cw=win.t_cw.at[0].set(t_cw0),
+        valid=win.valid.at[0].set(True),
+        count=jnp.asarray(1, jnp.int32),
+    )
+    z3 = jnp.zeros(3, jnp.float32)
+    return EngineState(
+        q_wb=jnp.asarray(q_wb0, jnp.float32),
+        v_w=jnp.asarray(v_w0, jnp.float32),
+        bias_g=z3 if bias_g is None else jnp.asarray(bias_g, jnp.float32),
+        bias_a=z3 if bias_a is None else jnp.asarray(bias_a, jnp.float32),
+        R_wc=jnp.asarray(R_wc0, jnp.float32),
+        p_wc=jnp.asarray(p_wc0, jnp.float32),
+        kf_R_wc=jnp.asarray(R_wc0, jnp.float32),
+        kf_p_wc=jnp.asarray(p_wc0, jnp.float32),
+        kf_feat=feat0,
+        window=win,
+        frame_idx=jnp.zeros((), jnp.int32),
+        kf_count=jnp.asarray(1, jnp.int32),
+    )

@@ -1,0 +1,10 @@
+from vislam_tpu.eval.metrics import ate_rmse, rpe_rmse, umeyama_alignment
+from vislam_tpu.eval.traj_io import write_trajectory_csv, read_trajectory_csv
+
+__all__ = [
+    "ate_rmse",
+    "rpe_rmse",
+    "umeyama_alignment",
+    "write_trajectory_csv",
+    "read_trajectory_csv",
+]
