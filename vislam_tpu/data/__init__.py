@@ -1,4 +1,6 @@
 from vislam_tpu.data.euroc import EurocDataset, FrameWindow
+from vislam_tpu.data.kitti import KittiDataset
+from vislam_tpu.data.tum import TumDataset
 from vislam_tpu.data.loader import PrefetchLoader
 from vislam_tpu.data.synthetic import (
     SyntheticConfig,
@@ -9,6 +11,8 @@ from vislam_tpu.data.synthetic import (
 
 __all__ = [
     "EurocDataset",
+    "KittiDataset",
+    "TumDataset",
     "FrameWindow",
     "PrefetchLoader",
     "SyntheticConfig",
