@@ -6,9 +6,13 @@ block_until_ready over many reps (dispatch overhead amortized by looping
 inside where possible).
 """
 
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

@@ -23,7 +23,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from vislam_tpu.backend.ba import (
     BAProblem,
@@ -122,7 +122,7 @@ def dist_bundle_adjust(
         mesh=mesh,
         in_specs=(P(), P(), P(axis), P(None, axis), P(None, axis)),
         out_specs=(P(), P(), P(axis), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     R, t, X, costs, cost0 = jax.jit(fn)(
         state.R, state.t, state.X, prob.obs_uv, prob.obs_mask
