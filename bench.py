@@ -13,9 +13,21 @@ our TPU frames/sec divided by that number.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: first bench run pays compile, later
+    runs (and rounds) start hot."""
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 def _make_frames(n_frames: int = 24):
@@ -116,6 +128,7 @@ def bench_reference_cpu(seq, n_steps: int = 12) -> float:
 
 
 def main():
+    _enable_compile_cache()
     seq = _make_frames()
     fps = bench_tpu(seq)
     base = bench_reference_cpu(seq)

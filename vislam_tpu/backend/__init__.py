@@ -7,6 +7,18 @@ from vislam_tpu.backend.ba import (
     build_normal_equations,
     schur_solve,
 )
+from vislam_tpu.backend.photometric import photometric_align, PhotoResult
+from vislam_tpu.backend.pose_graph import (
+    PoseGraph,
+    optimize_pose_graph,
+    pose_graph_residuals,
+    odometry_edges,
+)
+from vislam_tpu.backend.loop import (
+    global_descriptors,
+    detect_loop_candidates,
+    verify_loop,
+)
 
 __all__ = [
     "triangulate_midpoint",
@@ -17,4 +29,13 @@ __all__ = [
     "reprojection_residuals",
     "build_normal_equations",
     "schur_solve",
+    "photometric_align",
+    "PhotoResult",
+    "PoseGraph",
+    "optimize_pose_graph",
+    "pose_graph_residuals",
+    "odometry_edges",
+    "global_descriptors",
+    "detect_loop_candidates",
+    "verify_loop",
 ]
