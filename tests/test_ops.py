@@ -1,0 +1,78 @@
+"""Pallas kernels vs their jnp reference implementations (interpret mode on
+the CPU test mesh; the same code compiles for TPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vislam_tpu.data import SyntheticConfig, make_synthetic_sequence
+from vislam_tpu.frontend.detect import harris_response, _nms
+from vislam_tpu.frontend.match import match_descriptors
+from vislam_tpu.ops.match_kernel import match_descriptors_pallas, match_top2_pallas
+from vislam_tpu.ops.harris_kernel import harris_nms_pallas
+
+
+def _descs(rng, K=128, D=32, invalid_a=5, invalid_b=3):
+    a = rng.normal(size=(K, D)).astype(np.float32)
+    b = rng.normal(size=(K, D)).astype(np.float32)
+    a /= np.linalg.norm(a, axis=-1, keepdims=True)
+    b /= np.linalg.norm(b, axis=-1, keepdims=True)
+    ma = np.ones(K, bool); ma[K - invalid_a:] = False
+    mb = np.ones(K, bool); mb[:invalid_b] = False
+    return a, b, ma, mb
+
+
+def test_match_top2_kernel_matches_numpy(rng):
+    a, b, ma, mb = _descs(rng)
+    min1, min2, arg1, colarg = match_top2_pallas(
+        jnp.asarray(a), jnp.asarray(ma), jnp.asarray(b), jnp.asarray(mb),
+        interpret=True,
+    )
+    D = np.linalg.norm(a[:, None] - b[None, :], axis=-1) ** 2
+    D[~ma] = 1e9
+    D[:, ~mb] = 1e9
+    np.testing.assert_allclose(np.asarray(min1), D.min(1), rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(arg1)[ma], D.argmin(1)[ma])
+    D2 = D.copy()
+    D2[np.arange(len(D)), D.argmin(1)] = 1e9
+    np.testing.assert_allclose(np.asarray(min2)[ma], D2.min(1)[ma], rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(colarg)[mb], D.argmin(0)[mb])
+
+
+def test_match_pallas_agrees_with_jnp_matcher(rng):
+    a, b, ma, mb = _descs(rng, K=256, D=64)
+    m_ref = match_descriptors(
+        jnp.asarray(a), jnp.asarray(ma), jnp.asarray(b), jnp.asarray(mb),
+        ratio=0.9, mutual=True,
+    )
+    m_pal = match_descriptors_pallas(
+        jnp.asarray(a), jnp.asarray(ma), jnp.asarray(b), jnp.asarray(mb),
+        ratio=0.9, mutual=True, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(m_ref.mask), np.asarray(m_pal.mask))
+    sel = np.asarray(m_ref.mask)
+    np.testing.assert_array_equal(
+        np.asarray(m_ref.idx_b)[sel], np.asarray(m_pal.idx_b)[sel]
+    )
+    np.testing.assert_allclose(
+        np.asarray(m_ref.dist)[sel], np.asarray(m_pal.dist)[sel], rtol=1e-4, atol=1e-5
+    )
+
+
+def test_harris_kernel_matches_jnp_pipeline():
+    seq = make_synthetic_sequence(SyntheticConfig(n_frames=2, n_landmarks=150, seed=4))
+    img = jnp.asarray(seq["images"][0], jnp.float32)
+    ref = np.asarray(_nms(harris_response(img), radius=2))
+    pal = np.asarray(harris_nms_pallas(img, interpret=True))
+    # Compare peak sets in the interior (border handling differs by design).
+    interior = np.s_[16:-16, 16:-16]
+    ref_peaks = np.isfinite(ref[interior]) & (ref[interior] > 1.0)
+    pal_peaks = np.isfinite(pal[interior]) & (pal[interior] > 1.0)
+    # Peak sets should agree almost everywhere (tiny numeric differences can
+    # shift an NMS tie by a pixel).
+    agree = (ref_peaks == pal_peaks).mean()
+    assert agree > 0.995, agree
+    both = ref_peaks & pal_peaks
+    np.testing.assert_allclose(
+        ref[interior][both], pal[interior][both], rtol=5e-3, atol=5e-2
+    )
