@@ -157,7 +157,7 @@ def _inv3x3(M):
     return adj / safe[..., None, None]
 
 
-def schur_solve(Hpp, Hpl, Hll, bp, bl, lam, fix_first: bool = True,
+def schur_solve(Hpp, Hpl, Hll, bp, bl, lam, fix_first: int = 1,
                 axis_name: str | None = None):
     """Damped Schur-complement solve.
 
@@ -202,12 +202,16 @@ def schur_solve(Hpp, Hpl, Hll, bp, bl, lam, fix_first: bool = True,
 
     Sm = S.transpose(0, 2, 1, 3).reshape(W * 6, W * 6)
     rm = rhs.reshape(W * 6)
-    if fix_first:
-        # Gauge fixing: zero out pose-0 rows/cols, identity block.
+    n_fixed = int(fix_first)
+    if n_fixed:
+        # Gauge fixing: zero out the first n_fixed poses' rows/cols with
+        # identity diagonal. One fixed pose pins the 6-DoF frame; monocular
+        # problems need a second fixed pose to pin the scale (7th gauge DoF).
         g = jnp.arange(W * 6)
-        free = g >= 6
+        free = g >= 6 * n_fixed
         Sm = jnp.where(free[:, None] & free[None, :], Sm, 0.0)
-        Sm = Sm.at[jnp.arange(6), jnp.arange(6)].set(1.0)
+        fixed_idx = jnp.arange(6 * n_fixed)
+        Sm = Sm.at[fixed_idx, fixed_idx].set(1.0)
         rm = jnp.where(free, rm, 0.0)
 
     # Cholesky with a small ridge for safety.
@@ -234,7 +238,7 @@ def bundle_adjust(
     iters: int = 8,
     lam0: float = 1e-3,
     huber_delta: float = 2.0,
-    fix_first: bool = True,
+    fix_first: int = 1,
 ):
     """LM loop with accept/reject damping, as a lax.scan (fixed iters).
 

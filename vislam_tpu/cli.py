@@ -34,6 +34,10 @@ def main(argv=None):
     ap.add_argument("--imu-scale", dest="gt_scale", action="store_false",
                     help="use IMU preintegration for scale instead of GT")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--ba", action="store_true",
+                    help="run sliding-window bundle adjustment on each keyframe")
+    ap.add_argument("--plot", default=None,
+                    help="write trajectory/state plots with this path prefix")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -46,6 +50,7 @@ def main(argv=None):
     from vislam_tpu import lie
     from vislam_tpu.calib import euroc_calib, kitti_calib, tum_calib, load_opencv_xml
     from vislam_tpu.engine import VIOEngine
+    from vislam_tpu.engine.refine import refine_window
     from vislam_tpu.eval import ate_rmse, write_trajectory_csv
     from vislam_tpu.utils.timing import StageTimer
 
@@ -84,6 +89,11 @@ def main(argv=None):
                 state, res = eng.step(state, seq["images"][j], imu, dt, gt_norm)
             if bool(res.is_keyframe):
                 last_kf = j
+                if args.ba:
+                    with timer.stage("engine.refine"):
+                        state = refine_window(
+                            state, eng.cfg, calib.fx, calib.fy, calib.cx, calib.cy
+                        )
             est_positions.append(np.asarray(res.p_wc))
             gt_positions.append(seq["gt_pos"][j])
             rows.append(dict(
@@ -134,8 +144,14 @@ def main(argv=None):
                 gt_norm = float(np.linalg.norm(fw.gt_pos - last_kf_pos))
             with timer.stage("engine.step"):
                 state, res = eng.step(state, fw.image, fw.imu, fw.imu_dt, gt_norm)
-            if bool(res.is_keyframe) and fw.gt_pos is not None:
-                last_kf_pos = fw.gt_pos
+            if bool(res.is_keyframe):
+                if fw.gt_pos is not None:
+                    last_kf_pos = fw.gt_pos
+                if args.ba:
+                    with timer.stage("engine.refine"):
+                        state = refine_window(
+                            state, eng.cfg, calib.fx, calib.fy, calib.cx, calib.cy
+                        )
             est_positions.append(np.asarray(res.p_wc))
             if fw.gt_pos is not None:
                 gt_positions.append(fw.gt_pos)
@@ -164,6 +180,14 @@ def main(argv=None):
         print(f"ATE RMSE (unaligned): {ate_rmse(est, gt, align=False):.4f} m")
         print(f"ATE RMSE (SE3-aligned): {ate_rmse(est, gt):.4f} m")
     print(f"trajectory written to {args.output}")
+    if args.plot:
+        from vislam_tpu.eval import read_trajectory_csv
+        from vislam_tpu.viz import plot_state_comparison, plot_trajectory
+
+        traj = read_trajectory_csv(args.output)
+        plot_trajectory(traj, args.plot + "_traj.png")
+        plot_state_comparison(traj, args.plot + "_state.png")
+        print(f"plots written to {args.plot}_traj.png / _state.png")
     return 0
 
 

@@ -89,11 +89,15 @@ def run_sequence_scan(eng: VIOEngine, state0: EngineState,
                       inputs: SequenceInputs, kf_gt_pos0=None, seed: int = 0):
     """Process a whole sequence in one jitted scan.
 
-    Returns (final_state, FrameResult with leading dim N).
+    Returns (final_state, FrameResult with leading dim N). The jitted scan is
+    cached on the engine — rebuilding it per call would retrace every time.
     """
     if kf_gt_pos0 is None:
         kf_gt_pos0 = inputs.gt_pos[0] * 0.0 + jnp.asarray(state0.p_wc)
-    fn = jax.jit(partial(_scan_fn, eng._build_step()))
+    fn = getattr(eng, "_scan_jit", None)
+    if fn is None:
+        fn = jax.jit(partial(_scan_fn, eng._build_step()))
+        eng._scan_jit = fn
     return fn(state0, jnp.asarray(kf_gt_pos0, jnp.float32), inputs,
               jax.random.PRNGKey(seed))
 
@@ -107,13 +111,17 @@ def run_batch_scan(eng: VIOEngine, states0, inputs_batch: SequenceInputs,
     """
     step_fn = eng._build_step()
 
-    def one(state0, kf0, images, imu, imu_dt, gt_pos, key):
+    def one(state0, kf0, images, imu, imu_dt, gt_pos, use_gt, key):
         inp = SequenceInputs(images=images, imu=imu, imu_dt=imu_dt,
-                             gt_pos=gt_pos, use_gt_scale=inputs_batch.use_gt_scale)
+                             gt_pos=gt_pos, use_gt_scale=use_gt)
         return _scan_fn(step_fn, state0, kf0, inp, key)
 
     B = inputs_batch.images.shape[0]
     keys = jax.random.split(jax.random.PRNGKey(seed), B)
-    fn = jax.jit(jax.vmap(one))
+    fn = getattr(eng, "_batch_scan_jit", None)
+    if fn is None:
+        fn = jax.jit(jax.vmap(one, in_axes=(0, 0, 0, 0, 0, 0, None, 0)))
+        eng._batch_scan_jit = fn
     return fn(states0, kf_gt_pos0, inputs_batch.images, inputs_batch.imu,
-              inputs_batch.imu_dt, inputs_batch.gt_pos, keys)
+              inputs_batch.imu_dt, inputs_batch.gt_pos,
+              inputs_batch.use_gt_scale, keys)

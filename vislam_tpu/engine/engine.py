@@ -150,7 +150,11 @@ class VIOEngine:
             t_cw_i = -state.kf_R_wc.T @ state.kf_p_wc
             R_cw_j = R_ji @ R_cw_i
             t_cw_j = R_ji @ t_cw_i + t_ji
-            R_wc_j = R_cw_j.T
+            # Re-orthonormalize: the composition above contains
+            # kf_R_wc @ kf_R_wc^T, which DOUBLES any orthogonality error of
+            # the anchor every keyframe — unchecked, the pose state diverges
+            # exponentially after ~25 keyframes (measured).
+            R_wc_j = lie.orthonormalize(R_cw_j.T)
             p_wc_j = -R_cw_j.T @ t_cw_j
 
             # Solution quality gate (reference skips frames with too few
@@ -206,11 +210,18 @@ class VIOEngine:
 
             # Velocity: from world displacement over the window (solved), else
             # IMU propagation.
-            v_new = jnp.where(
-                solved & (T > 1e-6),
-                (p_wc_j - state.kf_p_wc) / jnp.maximum(T, 1e-6) + 0.5 * g_w * T,
-                state.v_w + g_w * T + (R_wb_i_kf @ pre.dv),
-            )
+            # Vision velocity: displacement since the last keyframe over the
+            # TIME since that keyframe (state.kf_time accumulates it; using
+            # the single-frame dt here was a measured 2-3x overestimate).
+            t_since_kf = state.kf_time + T
+            v_vis = (p_wc_j - state.kf_p_wc) / jnp.maximum(t_since_kf, 1e-3)
+            v_imu = state.v_w + g_w * T + (R_wb_i_kf @ pre.dv)
+            v_new = jnp.where(solved, v_vis, v_imu)
+            # Rate limit + physical clamp: anchor refinements jitter the
+            # vision velocity; unbounded it feeds a position runaway.
+            dv_max = 20.0 * jnp.maximum(T, 1e-3)  # <= 20 m/s^2 equivalent
+            v_new = state.v_w + jnp.clip(v_new - state.v_w, -dv_max, dv_max)
+            v_new = jnp.clip(v_new, -en.max_velocity, en.max_velocity)
 
             new_state = EngineState(
                 q_wb=q_wb,
@@ -225,6 +236,7 @@ class VIOEngine:
                 window=new_window,
                 frame_idx=state.frame_idx + 1,
                 kf_count=state.kf_count + is_kf.astype(jnp.int32),
+                kf_time=jnp.where(is_kf, 0.0, t_since_kf),
             )
             result = FrameResult(
                 p_wc=p_wc_j,

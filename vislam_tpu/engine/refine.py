@@ -1,0 +1,175 @@
+"""Sliding-window refinement: track association + triangulation + BA.
+
+This is what upgrades the engine from frame-to-frame VO (the reference's
+level — open-loop composition, /root/reference/src/VISystem.cpp:1567-1635)
+to windowed bundle adjustment over the keyframe ring buffer, per the north
+star (BASELINE.json config #3).
+
+Fixed-shape track association: tracks are anchored at the NEWEST keyframe in
+the window — its K keypoint rows are the L = K track slots, and every other
+window keyframe is matched directly against the anchor (a static loop of W
+batched MXU matches). Direct matching avoids the multiplicative survival
+decay of chained matching (measured: chains through 10 keyframes keep <3% of
+tracks; direct anchor matching keeps each pair's full match rate).
+Observations form the dense (W, K, 2) table the BA consumes; tracks seen in
+>= 2 keyframes are triangulated (midpoint, first/last observation) and
+optimized with the Schur-complement LM of backend/ba.py.
+
+The window's newest pose correction is applied back to the engine's current
+pose anchor, so refinement immediately benefits subsequent tracking.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from vislam_tpu.backend.ba import BAProblem, BAState, bundle_adjust
+from vislam_tpu.backend.triangulate import triangulate_midpoint
+from vislam_tpu.frontend.match import match_descriptors
+from vislam_tpu.engine.state import EngineState
+from vislam_tpu.utils.config import SystemConfig
+
+
+def _build_tracks(window, ratio: float, mutual: bool):
+    """Match every window keyframe directly against the newest (anchor)
+    keyframe. Returns (ptr (W, K), ok (W, K)): ptr[w, l] is the keypoint row
+    in keyframe w observing anchor-track l."""
+    W, K = window.kp_mask.shape
+    anchor = jnp.clip(window.count - 1, 0, W - 1)
+    a_desc = jnp.take(window.desc, anchor, axis=0)
+    a_mask = jnp.take(window.kp_mask, anchor, axis=0) & jnp.take(
+        window.valid, anchor
+    )
+    slot_ids = jnp.arange(W)
+    ptrs, oks = [], []
+    for w in range(W):
+        m = match_descriptors(
+            a_desc, a_mask,
+            window.desc[w], window.kp_mask[w] & window.valid[w],
+            ratio=ratio, mutual=mutual,
+        )
+        is_anchor = slot_ids[w] == anchor
+        ptr_w = jnp.where(is_anchor, jnp.arange(K, dtype=jnp.int32), m.idx_b)
+        ok_w = jnp.where(is_anchor, a_mask, m.mask)
+        ptrs.append(ptr_w)
+        oks.append(ok_w)
+    return jnp.stack(ptrs), jnp.stack(oks)  # (W, K) each
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def refine_window(state: EngineState, cfg: SystemConfig,
+                  fx: float, fy: float, cx: float, cy: float) -> EngineState:
+    """Run windowed BA over the engine's keyframe window; returns new state."""
+    win = state.window
+    W, K = win.kp_mask.shape
+    fe = cfg.frontend
+    be = cfg.backend
+
+    ptr, ok = _build_tracks(win, fe.ratio_thresh, fe.mutual_check)
+
+    # Observation table: obs[w, l] = uv of track l in keyframe w.
+    batch_take = jax.vmap(lambda uv, p: jnp.take(uv, p, axis=0))
+    obs_uv = batch_take(win.uv, ptr)                    # (W, K, 2)
+    obs_mask = ok & win.valid[:, None]
+
+    # Tracks need >= 2 observations; also require the window to have >= 2 kfs.
+    n_obs = jnp.sum(obs_mask, axis=0)                   # (K,)
+    track_ok = (n_obs >= 2) & (win.count >= 2)
+    obs_mask = obs_mask & track_ok[None, :]
+
+    # --- Triangulate from the first and last keyframe observing each track.
+    idx_w = jnp.arange(W)[:, None]
+    first_w = jnp.min(jnp.where(obs_mask, idx_w, W), axis=0)
+    last_w = jnp.max(jnp.where(obs_mask, idx_w, -1), axis=0)
+    first_w_c = jnp.clip(first_w, 0, W - 1)
+    last_w_c = jnp.clip(last_w, 0, W - 1)
+
+    def gather_kf(arr, idx):
+        return jnp.take(arr, idx, axis=0)
+
+    def rays_of(uv):
+        x = (uv[..., 0] - cx) / fx
+        y = (uv[..., 1] - cy) / fy
+        r = jnp.stack([x, y, jnp.ones_like(x)], -1)
+        return r / jnp.linalg.norm(r, axis=-1, keepdims=True)
+
+    uv_first = jnp.take_along_axis(obs_uv, first_w_c[None, :, None].repeat(2, -1), axis=0)[0]
+    uv_last = jnp.take_along_axis(obs_uv, last_w_c[None, :, None].repeat(2, -1), axis=0)[0]
+    rays_i = rays_of(uv_first)
+    rays_j = rays_of(uv_last)
+
+    R_cw_f = gather_kf(win.R_cw, first_w_c)             # (K, 3, 3)
+    t_cw_f = gather_kf(win.t_cw, first_w_c)
+    R_cw_l = gather_kf(win.R_cw, last_w_c)
+    t_cw_l = gather_kf(win.t_cw, last_w_c)
+    # Relative pose first->last per track: T_l T_f^-1.
+    R_ji = jnp.einsum("kij,kmj->kim", R_cw_l, R_cw_f)
+    t_ji = t_cw_l - jnp.einsum("kij,kj->ki", R_ji, t_cw_f)
+
+    # Midpoint triangulation per track (vmapped closed form).
+    def tri(ri, rj, R, t):
+        Xi, di, dj, gap = triangulate_midpoint(ri[None], rj[None], R, t)
+        return Xi[0], di[0], dj[0], gap[0]
+
+    X_f, d_i, d_j, gap = jax.vmap(tri)(rays_i, rays_j, R_ji, t_ji)
+    # World coords: X_w = R_cw^T (X_f - t_cw).
+    X_w = jnp.einsum("kji,kj->ki", R_cw_f, X_f - t_cw_f)
+    depth_ok = (d_i > be.min_depth) & (d_i < be.max_depth) & (d_j > be.min_depth)
+    track_ok = track_ok & depth_ok & jnp.isfinite(X_w).all(axis=-1)
+    obs_mask = obs_mask & track_ok[None, :]
+
+    # --- Bundle adjust.
+    ba_state = BAState(R=win.R_cw, t=win.t_cw,
+                       X=jnp.where(track_ok[:, None], X_w, 1.0))
+    prob = BAProblem(obs_uv=obs_uv, obs_mask=obs_mask,
+                     fx=fx, fy=fy, cx=cx, cy=cy)
+    # fix_first=2: monocular BA has a 7-DoF gauge; fixing two poses pins the
+    # frame AND the scale (one fixed pose would let the window rescale).
+    refined, info = bundle_adjust(
+        ba_state, prob, iters=be.lm_iters, lam0=be.lm_lambda0,
+        huber_delta=be.huber_delta, fix_first=2,
+    )
+
+    # Keep the refinement only if the BA actually improved and is sane.
+    good = (
+        jnp.isfinite(info["final_cost"])
+        & (info["final_cost"] <= info["initial_cost"])
+        & (jnp.sum(obs_mask) >= 16)
+    )
+    R_cw_new = jnp.where(good, refined.R, win.R_cw)
+    t_cw_new = jnp.where(good, refined.t, win.t_cw)
+
+    # Apply the newest-keyframe correction to the engine anchors — CAPPED.
+    # BA redistributes the window's internal error; an uncapped anchor jump
+    # feeds back through the velocity state and can run away (measured).
+    from vislam_tpu.lie.so3 import orthonormalize, so3_exp, so3_log
+
+    R_cw_new = orthonormalize(R_cw_new)
+    slot = jnp.clip(win.count - 1, 0, W - 1)
+    R_cw_k = R_cw_new[slot]
+    t_cw_k = t_cw_new[slot]
+    kf_R_wc_raw = R_cw_k.T
+    kf_p_wc_raw = -R_cw_k.T @ t_cw_k
+
+    dp = kf_p_wc_raw - state.kf_p_wc
+    dp_norm = jnp.linalg.norm(dp)
+    trans_scale = jnp.minimum(1.0, be.max_anchor_trans / jnp.maximum(dp_norm, 1e-9))
+    kf_p_wc = state.kf_p_wc + dp * trans_scale
+
+    dR = kf_R_wc_raw @ state.kf_R_wc.T
+    drot = so3_log(dR)
+    drot_norm = jnp.linalg.norm(drot)
+    rot_scale = jnp.minimum(1.0, be.max_anchor_rot / jnp.maximum(drot_norm, 1e-9))
+    kf_R_wc = orthonormalize(so3_exp(drot * rot_scale) @ state.kf_R_wc)
+
+    new_win = win._replace(R_cw=R_cw_new, t_cw=t_cw_new)
+    return state._replace(
+        window=new_win,
+        kf_R_wc=jnp.where(good, kf_R_wc, state.kf_R_wc),
+        kf_p_wc=jnp.where(good, kf_p_wc, state.kf_p_wc),
+        R_wc=jnp.where(good, kf_R_wc, state.R_wc),
+        p_wc=jnp.where(good, kf_p_wc, state.p_wc),
+    )

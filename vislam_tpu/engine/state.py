@@ -47,6 +47,7 @@ class EngineState(NamedTuple):
     window: KeyframeWindow
     frame_idx: jnp.ndarray   # () int32
     kf_count: jnp.ndarray    # () int32
+    kf_time: jnp.ndarray     # () f32 seconds since the last keyframe
 
 
 def init_window(W: int, K: int, D: int) -> KeyframeWindow:
@@ -104,4 +105,5 @@ def init_state(
         window=win,
         frame_idx=jnp.zeros((), jnp.int32),
         kf_count=jnp.asarray(1, jnp.int32),
+        kf_time=jnp.zeros((), jnp.float32),
     )

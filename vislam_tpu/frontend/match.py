@@ -33,10 +33,15 @@ class Matches(NamedTuple):
 
 
 def _top2_min(D):
-    """Row-wise two smallest values + argmin. D: (M, N) -> (min1, min2, arg1)."""
+    """Row-wise two smallest values + argmin. D: (M, N) -> (min1, min2, arg1).
+
+    Scatter-free: masking the argmin column with a broadcast compare instead
+    of an .at[] scatter (TPU scatters serialize and dominate the frame step).
+    """
     min1 = jnp.min(D, axis=1)
     arg1 = jnp.argmin(D, axis=1)
-    D2 = D.at[jnp.arange(D.shape[0]), arg1].set(_BIG)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, D.shape, 1)
+    D2 = jnp.where(col_ids == arg1[:, None].astype(jnp.int32), _BIG, D)
     min2 = jnp.min(D2, axis=1)
     return min1, min2, arg1
 
@@ -88,14 +93,21 @@ def match_descriptors(
         cell = cv * cell_cols + cu
         n_cells = cell_rows * cell_cols
         keyed = jnp.where(ok, dist, _BIG)
-        # Best distance per cell via scatter-min, then keep only the argmin row.
-        cell_best = jnp.full((n_cells,), _BIG, keyed.dtype).at[cell].min(keyed)
-        is_best = ok & (keyed <= cell_best[cell] + 1e-12)
+        # Per-cell min WITHOUT scatter: TPU scatters serialize (measured 30+ms
+        # for two 512-row scatter-mins inside the step); a (K, C) one-hot
+        # masked min-reduction is fully vectorized and effectively free.
+        onehot = cell[:, None] == jnp.arange(n_cells, dtype=jnp.int32)[None, :]
+        cell_best = jnp.min(
+            jnp.where(onehot, keyed[:, None], _BIG), axis=0
+        )  # (C,)
+        is_best = ok & (keyed <= jnp.take(cell_best, cell) + 1e-12)
         # Break exact ties by keypoint row order: first best in each cell wins.
         row = jnp.arange(keyed.shape[0], dtype=jnp.int32)
         row_keyed = jnp.where(is_best, row, jnp.int32(2 ** 30))
-        first_best = jnp.full((n_cells,), 2 ** 30, jnp.int32).at[cell].min(row_keyed)
-        ok = is_best & (row == first_best[cell])
+        first_best = jnp.min(
+            jnp.where(onehot, row_keyed[:, None], jnp.int32(2 ** 30)), axis=0
+        )
+        ok = is_best & (row == jnp.take(first_best, cell))
 
     return Matches(idx_b=arg1.astype(jnp.int32), dist=dist, mask=ok)
 

@@ -89,8 +89,10 @@ def preintegrate(gyro, accel, dt, bias_gyro=None, bias_accel=None) -> Preintegra
         T = T + d
         return (dR, dv, dp, T, J_R_bg, J_v_bg, J_v_ba, J_p_bg, J_p_ba), None
 
+    # Unrolled: short fixed windows of tiny ops — loop overhead dominates
+    # otherwise on TPU.
     (dR, dv, dp, T, J_R_bg, J_v_bg, J_v_ba, J_p_bg, J_p_ba), _ = jax.lax.scan(
-        step, init, (gyro, accel, dt)
+        step, init, (gyro, accel, dt), unroll=4
     )
     return Preintegrated(dR, dv, dp, T, J_R_bg, J_v_bg, J_v_ba, J_p_bg, J_p_ba)
 

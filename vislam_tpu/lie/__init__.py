@@ -24,6 +24,7 @@ from vislam_tpu.lie.so3 import (
     so3_log,
     so3_left_jacobian,
     so3_left_jacobian_inv,
+    orthonormalize,
 )
 from vislam_tpu.lie.se3 import (
     se3_identity,

@@ -111,6 +111,21 @@ def so3_log(R):
     return jnp.where(near_pi[..., None], pi_branch, out)
 
 
+def orthonormalize(R):
+    """Project a near-rotation back onto SO(3): two Newton iterations of the
+    symmetric orthogonalization R <- R (3I - R^T R) / 2.
+
+    Kills orthogonality error eps to O(eps^2) per iteration. Cheap (two 3x3
+    matmuls each) and branch-free — used wherever rotations are composed
+    repeatedly (pose anchors), since a composition of the form A B B^T
+    DOUBLES any orthogonality error of B each time it runs.
+    """
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), R.shape)
+    for _ in range(2):
+        R = R @ (1.5 * eye - 0.5 * (jnp.swapaxes(R, -1, -2) @ R))
+    return R
+
+
 def so3_left_jacobian(w):
     """Left Jacobian J_l of SO(3): exp((w+dw)^) ~= exp((J_l dw)^) exp(w^)."""
     theta2 = jnp.sum(w * w, axis=-1)

@@ -61,8 +61,13 @@ class BackendConfig:
     # Sliding-window BA
     window_size: int = 10          # keyframes (reference num_max_keyframes=10)
     max_landmarks: int = 512
-    lm_iters: int = 8              # LM outer iterations
+    lm_iters: int = 20             # LM outer iterations (accept/reject damped)
     lm_lambda0: float = 1e-3
+    # Online-refinement feedback guards: BA redistributes window-internal
+    # error, so anchor corrections are capped to keep the engine<->BA loop
+    # stable (uncapped corrections measured to trigger runaway divergence).
+    max_anchor_trans: float = 0.10  # meters per refinement
+    max_anchor_rot: float = 0.035   # radians (~2 deg) per refinement
     huber_delta: float = 2.0       # pixels (robust loss; reference had Tukey, disabled)
     min_depth: float = 0.05
     max_depth: float = 200.0
@@ -82,8 +87,9 @@ class EngineConfig:
     kf_rotation_deg: float = 5.0
     min_feature_ratio: float = 0.35   # skip frame if matches < ratio * kf kpts (VISystem.cpp:297)
     use_gt_scale: bool = True         # reference parity mode (GT-scaled translation)
-    imu_window: int = 16              # padded IMU samples per frame (EUROC: 10)
+    imu_window: int = 16              # padded IMU samples per frame (EUROC: 16)
     gravity: float = 9.81             # reference uses 9.68 (src/Imu.cpp:337); see SURVEY §7
+    max_velocity: float = 30.0        # m/s sanity clamp (divergence guard)
 
 
 @dataclasses.dataclass(frozen=True)
