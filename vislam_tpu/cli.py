@@ -21,11 +21,18 @@ import numpy as np
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description="TPU-native visual-inertial SLAM")
-    ap.add_argument("--dataset", help="EUROC-layout sequence directory")
+    ap.add_argument("--dataset", help="dataset sequence directory")
+    ap.add_argument("--format", default="euroc", choices=["euroc", "kitti", "tum"],
+                    help="dataset directory layout")
+    ap.add_argument("--sequence", default="00", help="KITTI sequence id")
     ap.add_argument("--synthetic", type=int, default=0,
                     help="run on a generated synthetic sequence of N frames")
-    ap.add_argument("--calibration", default="euroc",
-                    help="euroc | kitti | tum | path to OpenCV-XML file")
+    ap.add_argument("--calibration", default=None,
+                    help="euroc | kitti | tum | path to OpenCV-XML file "
+                         "(default: matches --format)")
+    ap.add_argument("--vision-rotation", action="store_true",
+                    help="estimate rotation from the essential matrix instead "
+                         "of the IMU (auto-enabled for KITTI)")
     ap.add_argument("--output", default="outputVISlam.csv", help="trajectory CSV")
     ap.add_argument("--start", type=int, default=None, help="first frame index")
     ap.add_argument("--end", type=int, default=None, help="last frame index (excl)")
@@ -106,28 +113,46 @@ def main(argv=None):
             ))
         wall = time.perf_counter() - t0
     elif args.dataset:
-        from vislam_tpu.data import EurocDataset, PrefetchLoader
+        from vislam_tpu.data import (
+            EurocDataset, KittiDataset, TumDataset, PrefetchLoader,
+        )
         from vislam_tpu.inertial import static_mask, calibrate_gyro_bias
 
-        if args.calibration in ("euroc", "kitti", "tum"):
+        calib_name = args.calibration or args.format
+        if calib_name in ("euroc", "kitti", "tum"):
             calib = {"euroc": euroc_calib, "kitti": kitti_calib, "tum": tum_calib}[
-                args.calibration
+                calib_name
             ]()
         else:
-            calib = load_opencv_xml(args.calibration)
-        ds = EurocDataset(args.dataset)
+            calib = load_opencv_xml(calib_name)
+        if args.format == "kitti":
+            ds = KittiDataset(args.dataset, args.sequence)
+        elif args.format == "tum":
+            ds = TumDataset(args.dataset)
+        else:
+            ds = EurocDataset(args.dataset)
         start = ds.start_index if args.start is None else args.start
         end = len(ds) if args.end is None else args.end
 
         # Gyro bias from the stationary prefix (reference calibrates until
-        # t < 2500 ms, src/Imu.cpp:423-428).
-        g_pre, a_pre = ds.static_imu_prefix(2.5)
+        # t < 2500 ms, src/Imu.cpp:423-428); EUROC only.
         bias_g = None
-        if len(g_pre) > 50:
-            m = static_mask(jnp.asarray(g_pre), jnp.asarray(a_pre))
-            bias_g = np.asarray(calibrate_gyro_bias(jnp.asarray(g_pre), m))
+        if hasattr(ds, "static_imu_prefix"):
+            g_pre, a_pre = ds.static_imu_prefix(2.5)
+            if len(g_pre) > 50:
+                m = static_mask(jnp.asarray(g_pre), jnp.asarray(a_pre))
+                bias_g = np.asarray(calibrate_gyro_bias(jnp.asarray(g_pre), m))
 
-        eng = VIOEngine(calib)
+        import dataclasses
+
+        from vislam_tpu.utils.config import SystemConfig
+
+        cfg = SystemConfig()
+        if args.vision_rotation or args.format == "kitti":
+            cfg = dataclasses.replace(
+                cfg, engine=dataclasses.replace(cfg.engine, vision_rotation=True)
+            )
+        eng = VIOEngine(calib, cfg)
         fw0 = ds.frame_window(start)
         gt_q0 = fw0.gt_quat if fw0.gt_quat is not None else np.array([1.0, 0, 0, 0])
         gt_p0 = fw0.gt_pos if fw0.gt_pos is not None else np.zeros(3)

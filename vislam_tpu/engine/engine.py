@@ -32,6 +32,7 @@ from vislam_tpu.frontend.pose import (
     resolve_direction_sign,
     rotation_compensated_disparity,
 )
+from vislam_tpu.frontend.essential import ransac_essential
 from vislam_tpu.inertial.filters import madgwick_scan
 from vislam_tpu.inertial.preintegration import preintegrate
 from vislam_tpu.engine.state import EngineState, init_state
@@ -103,7 +104,7 @@ class VIOEngine:
             # R_ji = R_wc_j^T R_wc_i  with R_wc = R_wb R_bc.
             R_wb_j = lie.quat_to_mat(q_wb)
             R_wc_j_imu = R_wb_j @ R_bc
-            R_ji = R_wc_j_imu.T @ state.kf_R_wc
+            R_ji_imu = R_wc_j_imu.T @ state.kf_R_wc
 
             # ---------------- frontend
             feat = extract_features(image, fe)
@@ -116,25 +117,47 @@ class VIOEngine:
             uv_j = jnp.take(feat.uv, m.idx_b, axis=0)
             num_matches = jnp.sum(m.mask).astype(jnp.int32)
 
-            disparity = rotation_compensated_disparity(
-                uv_i, uv_j, m.mask, R_ji, fx, fy, cx, cy
-            )
-
-            # ---------------- two-view translation (direction + scale)
             rays_i = unproject_pixels(uv_i, fx, fy, cx, cy)
             rays_j = unproject_pixels(uv_j, fx, fy, cx, cy)
             rays_i = rays_i / jnp.linalg.norm(rays_i, axis=-1, keepdims=True)
             rays_j = rays_j / jnp.linalg.norm(rays_j, axis=-1, keepdims=True)
-            est = ransac_translation(
-                rays_i, rays_j, R_ji, m.mask, key,
-                num_hyps=be.ransac_hyps, thresh=be.ransac_thresh,
+
+            # ---------------- two-view relative pose
+            if en.vision_rotation:
+                # Vision-only mode (no IMU, e.g. KITTI): rotation AND
+                # translation direction from the essential matrix (role of
+                # the reference's EstimatePoseFeaturesRansac,
+                # VISystem.cpp:1655-1794).
+                est_e = ransac_essential(
+                    rays_i, rays_j, m.mask, key,
+                    num_hyps=be.ransac_hyps, thresh=be.ransac_thresh,
+                )
+                R_ji = est_e.R_ji
+                t_dir = est_e.t_dir
+                est_inliers = est_e.num_inliers
+                est_inlier_mask = est_e.inlier_mask
+            else:
+                R_ji = R_ji_imu
+                est = ransac_translation(
+                    rays_i, rays_j, R_ji, m.mask, key,
+                    num_hyps=be.ransac_hyps, thresh=be.ransac_thresh,
+                )
+                t_dir = resolve_direction_sign(
+                    rays_i, rays_j, R_ji, est.t_dir, est.inlier_mask
+                )
+                est_inliers = est.num_inliers
+                est_inlier_mask = est.inlier_mask
+
+            disparity = rotation_compensated_disparity(
+                uv_i, uv_j, m.mask, R_ji, fx, fy, cx, cy
             )
-            t_dir = resolve_direction_sign(rays_i, rays_j, R_ji, est.t_dir,
-                                           est.inlier_mask)
 
             # Scale: GT norm (reference setGtRes parity, VISystem.cpp:415-419)
             # or IMU preintegration prediction in VI mode.
-            T = pre.dt
+            # With an empty IMU window (vision-only datasets) the integrated
+            # dt is 0; fall back to the camera frame period.
+            T = jnp.where(pre.dt > 1e-6, pre.dt,
+                          1.0 / max(calib.rate_cam_hz, 1.0))
             g_w = jnp.array([0.0, 0.0, -en.gravity], jnp.float32)
             R_wb_i_kf = state.kf_R_wc @ R_bc.T
             dp_world = (
@@ -163,7 +186,7 @@ class VIOEngine:
                 (en.min_feature_ratio * jnp.sum(state.kf_feat.mask)).astype(jnp.int32),
                 8,
             )
-            solved = enough & (est.num_inliers >= 8)
+            solved = enough & (est_inliers >= 8)
             R_wc_j = jnp.where(solved, R_wc_j, R_wc_j_imu)
             p_wc_j = jnp.where(
                 solved, p_wc_j, state.kf_p_wc + dp_world
@@ -223,6 +246,14 @@ class VIOEngine:
             v_new = state.v_w + jnp.clip(v_new - state.v_w, -dv_max, dv_max)
             v_new = jnp.clip(v_new, -en.max_velocity, en.max_velocity)
 
+            if en.vision_rotation:
+                # Attitude follows the vision pose in IMU-less mode (the
+                # filter has nothing to integrate).
+                q_wb = jnp.where(
+                    solved,
+                    lie.mat_to_quat(lie.orthonormalize(R_wc_j @ R_bc.T)),
+                    q_wb,
+                )
             new_state = EngineState(
                 q_wb=q_wb,
                 v_w=v_new,
@@ -245,7 +276,7 @@ class VIOEngine:
                 v_w=v_new,
                 is_keyframe=is_kf,
                 num_matches=num_matches,
-                num_inliers=est.num_inliers,
+                num_inliers=est_inliers,
                 disparity=disparity,
                 t_dir_cam=t_dir,
             )

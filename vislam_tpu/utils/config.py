@@ -87,6 +87,9 @@ class EngineConfig:
     kf_rotation_deg: float = 5.0
     min_feature_ratio: float = 0.35   # skip frame if matches < ratio * kf kpts (VISystem.cpp:297)
     use_gt_scale: bool = True         # reference parity mode (GT-scaled translation)
+    vision_rotation: bool = False     # estimate R from the essential matrix
+                                      # instead of the IMU (KITTI: no IMU);
+                                      # static flag -> separate compiled step
     imu_window: int = 16              # padded IMU samples per frame (EUROC: 16)
     gravity: float = 9.81             # reference uses 9.68 (src/Imu.cpp:337); see SURVEY §7
     max_velocity: float = 30.0        # m/s sanity clamp (divergence guard)
