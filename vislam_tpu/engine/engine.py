@@ -159,13 +159,17 @@ class VIOEngine:
             T = jnp.where(pre.dt > 1e-6, pre.dt,
                           1.0 / max(calib.rate_cam_hz, 1.0))
             g_w = jnp.array([0.0, 0.0, -en.gravity], jnp.float32)
+            # Attitude at the START of this IMU window (pre-update state).
+            R_wb_prev = lie.quat_to_mat(state.q_wb)
             R_wb_i_kf = state.kf_R_wc @ R_bc.T
-            dp_world = (
-                state.v_w * T + 0.5 * g_w * T * T + R_wb_i_kf @ pre.dp
-            )
-            imu_t_norm = jnp.linalg.norm(dp_world)
+            dp_step = state.v_w * T + 0.5 * g_w * T * T + R_wb_prev @ pre.dp
+            # The epipolar translation spans keyframe -> current frame, so
+            # the IMU scale must too: accumulate displacement since the kf.
+            dp_since_kf = state.kf_dp_imu + dp_step
+            imu_t_norm = jnp.linalg.norm(dp_since_kf)
             scale = jnp.where(gt_t_norm >= 0.0, gt_t_norm, imu_t_norm)
             t_ji = t_dir * scale  # frame-j coords: X_j = R_ji X_i + t_ji
+            dp_world = dp_step  # single-frame prediction for the fallbacks
 
             # ---------------- relative pose -> world pose
             # T_cw_j = [R_ji | t_ji] ∘ T_cw_i; invert to camera-to-world.
@@ -238,8 +242,14 @@ class VIOEngine:
             # the single-frame dt here was a measured 2-3x overestimate).
             t_since_kf = state.kf_time + T
             v_vis = (p_wc_j - state.kf_p_wc) / jnp.maximum(t_since_kf, 1e-3)
-            v_imu = state.v_w + g_w * T + (R_wb_i_kf @ pre.dv)
-            v_new = jnp.where(solved, v_vis, v_imu)
+            v_imu = state.v_w + g_w * T + (R_wb_prev @ pre.dv)
+            # IMU-scale mode (gt_t_norm < 0): the monocular scale comes from
+            # the velocity state, so the velocity must NOT be re-estimated
+            # from the (IMU-scaled) vision displacement — that feedback
+            # collapses scale to zero (measured path ratio 0.069). Propagate
+            # inertially instead; full visual-inertial alignment replaces
+            # this once implemented.
+            v_new = jnp.where(solved & (gt_t_norm >= 0), v_vis, v_imu)
             # Rate limit + physical clamp: anchor refinements jitter the
             # vision velocity; unbounded it feeds a position runaway.
             dv_max = 20.0 * jnp.maximum(T, 1e-3)  # <= 20 m/s^2 equivalent
@@ -268,6 +278,7 @@ class VIOEngine:
                 frame_idx=state.frame_idx + 1,
                 kf_count=state.kf_count + is_kf.astype(jnp.int32),
                 kf_time=jnp.where(is_kf, 0.0, t_since_kf),
+                kf_dp_imu=jnp.where(is_kf, jnp.zeros(3), dp_since_kf),
             )
             result = FrameResult(
                 p_wc=p_wc_j,

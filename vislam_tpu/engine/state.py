@@ -48,6 +48,7 @@ class EngineState(NamedTuple):
     frame_idx: jnp.ndarray   # () int32
     kf_count: jnp.ndarray    # () int32
     kf_time: jnp.ndarray     # () f32 seconds since the last keyframe
+    kf_dp_imu: jnp.ndarray   # (3,) IMU-predicted world displacement since kf
 
 
 def init_window(W: int, K: int, D: int) -> KeyframeWindow:
@@ -106,4 +107,5 @@ def init_state(
         frame_idx=jnp.zeros((), jnp.int32),
         kf_count=jnp.asarray(1, jnp.int32),
         kf_time=jnp.zeros((), jnp.float32),
+        kf_dp_imu=jnp.zeros(3, jnp.float32),
     )
