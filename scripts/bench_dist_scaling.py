@@ -1,0 +1,80 @@
+"""Distributed-BA scaling measurement on the virtual CPU mesh.
+
+Weak scaling: fix landmarks-per-device, grow the mesh; the psum'd camera
+system is O(W^2) independent of L, so efficiency should stay high. Reports
+per-mesh-size time per LM iteration and parallel efficiency vs 1 device.
+
+(Real multi-chip ICI runs use the same code path; this CPU-mesh measurement
+validates the communication structure, not ICI bandwidth.)
+"""
+
+import os
+import sys
+import time
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import jax.numpy as jnp
+
+from vislam_tpu.backend import BAProblem, BAState
+from vislam_tpu.parallel import dist_bundle_adjust, make_mesh, shard_problem
+
+
+def make_problem(rng, W, L):
+    X = np.stack(
+        [rng.uniform(-4, 4, L), rng.uniform(-3, 3, L), rng.uniform(6, 14, L)], -1
+    )
+    fx = fy = 400.0
+    cx, cy = 376.0, 240.0
+    R_cw = np.tile(np.eye(3, dtype=np.float32), (W, 1, 1))
+    t_cw = np.zeros((W, 3), np.float32)
+    t_cw[:, 0] = -0.3 * np.arange(W)
+    obs = np.zeros((W, L, 2), np.float32)
+    for k in range(W):
+        Xc = X @ R_cw[k].T + t_cw[k]
+        obs[k, :, 0] = fx * Xc[:, 0] / Xc[:, 2] + cx + 0.3 * rng.standard_normal(L)
+        obs[k, :, 1] = fy * Xc[:, 1] / Xc[:, 2] + cy + 0.3 * rng.standard_normal(L)
+    state = BAState(
+        R=jnp.asarray(R_cw), t=jnp.asarray(t_cw),
+        X=jnp.asarray(X + rng.normal(scale=0.1, size=X.shape), jnp.float32),
+    )
+    prob = BAProblem(jnp.asarray(obs), jnp.ones((W, L), bool), fx, fy, cx, cy)
+    return state, prob
+
+
+def run(n_dev, L, iters=6, reps=3):
+    rng = np.random.default_rng(0)
+    state, prob = make_problem(rng, W=10, L=L)
+    mesh = make_mesh(n_dev)
+    st, pr = shard_problem(state, prob, mesh)
+    s, info = dist_bundle_adjust(st, pr, mesh, iters=iters)  # compile
+    jax.block_until_ready(s.X)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        s, info = dist_bundle_adjust(st, pr, mesh, iters=iters)
+        jax.block_until_ready(s.X)
+    return (time.perf_counter() - t0) / reps / iters * 1000
+
+
+def main():
+    L_per_dev = 512
+    base = run(1, L_per_dev)
+    print(f"n_dev=1  L={L_per_dev:5d}  {base:8.2f} ms/iter  eff=100%")
+    for n in (2, 4, 8):
+        t = run(n, L_per_dev * n)
+        eff = base / t * 100.0
+        print(f"n_dev={n}  L={L_per_dev*n:5d}  {t:8.2f} ms/iter  eff={eff:5.1f}%")
+
+
+if __name__ == "__main__":
+    main()
