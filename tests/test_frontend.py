@@ -124,6 +124,20 @@ def test_feature_matching_across_frames():
     assert (d < 50).mean() > 0.85  # residual outliers are RANSAC's job
 
 
+def test_multilevel_extraction():
+    import dataclasses
+
+    seq = make_synthetic_sequence(SyntheticConfig(n_frames=2, n_landmarks=250, seed=1))
+    cfg2 = dataclasses.replace(CFG, levels_used=2)
+    f = extract_features(jnp.asarray(seq["images"][0], jnp.float32), cfg2)
+    assert f.uv.shape[0] == 2 * CFG.max_keypoints
+    lv = np.asarray(f.level)
+    m = np.asarray(f.mask)
+    assert (lv[m] == 0).any() and (lv[m] == 1).any()
+    # Level-1 keypoints live in level-0 pixel coordinates (scaled up).
+    assert np.asarray(f.uv)[m].max() > 100
+
+
 def test_disparity_pure_rotation_is_zero():
     seq = make_synthetic_sequence(SyntheticConfig(n_frames=2, n_landmarks=100, seed=2))
     calib = seq["calib"]

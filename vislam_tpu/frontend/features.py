@@ -36,7 +36,13 @@ class Features(NamedTuple):
 
 @partial(jax.jit, static_argnames=("cfg",))
 def extract_features(image, cfg: FrontendConfig = FrontendConfig()) -> Features:
-    """image: (H, W) float32 in [0, 255] -> Features with K = cfg.max_keypoints."""
+    """image: (H, W) float32 in [0, 255] -> Features with K = cfg.max_keypoints.
+
+    With cfg.levels_used > 1, detection AND description run per pyramid level
+    (descriptors sampled on the keypoint's own level for scale invariance —
+    the role of the reference's multi-scale SURF/KAZE detectors); uv is
+    always reported in level-0 pixels.
+    """
     pyr = build_pyramid(image, cfg.num_levels)
     kps = detect_keypoints(
         pyr,
@@ -46,10 +52,18 @@ def extract_features(image, cfg: FrontendConfig = FrontendConfig()) -> Features:
         nms_radius=cfg.nms_radius,
         min_score_rel=cfg.min_score,
         border=cfg.patch_size // 2 + 4,
-        levels_used=1,
+        levels_used=cfg.levels_used,
     )
     angle = kps.angle if cfg.oriented else jnp.zeros_like(kps.angle)
-    desc = describe_keypoints(pyr[0], kps.uv, angle)
+    K_per_level = kps.uv.shape[0] // cfg.levels_used
+    descs = []
+    for lvl in range(cfg.levels_used):
+        sl = slice(lvl * K_per_level, (lvl + 1) * K_per_level)
+        scale = float(2 ** lvl)
+        descs.append(
+            describe_keypoints(pyr[lvl], kps.uv[sl] / scale, angle[sl])
+        )
+    desc = jnp.concatenate(descs, axis=0)
     return Features(
         uv=kps.uv, desc=desc, score=kps.score,
         level=kps.level, angle=kps.angle, mask=kps.mask,

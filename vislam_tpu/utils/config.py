@@ -26,9 +26,11 @@ class FrontendConfig:
 
     # Detection
     num_levels: int = 4            # pyramid levels (reference builds 5, uses 4)
+    levels_used: int = 1           # levels detection+description run on
+                                   # (>1 = multi-scale, K multiplies)
     grid_rows: int = 8
     grid_cols: int = 8
-    kp_per_cell: int = 8           # => max_keypoints = 8*8*8 = 512
+    kp_per_cell: int = 8           # => max_keypoints = 8*8*8 = 512 per level
     nms_radius: int = 2
     harris_k: float = 0.04
     min_score: float = 0.02        # relative corner-score floor (quality level)
@@ -47,7 +49,7 @@ class FrontendConfig:
 
     @property
     def max_keypoints(self) -> int:
-        return self.grid_rows * self.grid_cols * self.kp_per_cell
+        return self.levels_used * self.grid_rows * self.grid_cols * self.kp_per_cell
 
 
 @dataclasses.dataclass(frozen=True)
