@@ -61,8 +61,11 @@ class VIOEngine:
         self.calib = calib
         self.cfg = cfg
         self._key = jax.random.PRNGKey(seed)
-        # Camera->body rotation from the calibration extrinsic.
-        self.R_bc = jnp.asarray(calib.T_body_cam[:3, :3], jnp.float32)
+        # Camera->body rotation from the calibration extrinsic. Kept as
+        # NUMPY: closed-over values must embed as HLO literals — closed-over
+        # jax DeviceArrays become captured buffers that the axon TPU runtime
+        # re-uploads on every execution (measured ~5-15 ms per buffer).
+        self.R_bc = np.asarray(calib.T_body_cam[:3, :3], np.float32)
         self._step = jax.jit(self._build_step())
 
     # ------------------------------------------------------------------ init
@@ -88,8 +91,8 @@ class VIOEngine:
         en = cfg.engine
         calib = self.calib
         fx, fy, cx, cy = calib.fx, calib.fy, calib.cx, calib.cy
-        R_bc = self.R_bc
-        kf_rot_thresh = jnp.cos(jnp.deg2rad(en.kf_rotation_deg))
+        R_bc = self.R_bc  # numpy: embeds as an HLO literal at trace time
+        kf_rot_thresh = float(np.cos(np.deg2rad(en.kf_rotation_deg)))
 
         def step(state: EngineState, image, imu, imu_dt, gt_t_norm, key):
             # ---------------- inertial: orientation + preintegration
