@@ -39,6 +39,30 @@ def _make_frames(n_frames: int = 24):
     return seq
 
 
+def bench_tpu_scan(seq, reps: int = 5) -> float:
+    """Offline throughput: whole sequence as one on-device lax.scan."""
+    import jax
+
+    from vislam_tpu.engine import VIOEngine, make_sequence_inputs, run_sequence_scan
+
+    eng = VIOEngine(seq["calib"])
+    state0 = eng.initialize(
+        seq["images"][0], q_wb0=seq["gt_quat"][0],
+        v_w0=seq["gt_vel"][0], p_w0=seq["gt_pos"][0],
+    )
+    inputs = make_sequence_inputs(seq)
+    n = int(inputs.images.shape[0])
+    final, results = run_sequence_scan(eng, state0, inputs,
+                                       kf_gt_pos0=seq["gt_pos"][0])
+    jax.block_until_ready(results.p_wc)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        final, results = run_sequence_scan(eng, state0, inputs,
+                                           kf_gt_pos0=seq["gt_pos"][0])
+        jax.block_until_ready(results.p_wc)
+    return reps * n / (time.perf_counter() - t0)
+
+
 def bench_tpu(seq, n_steps: int = 60) -> float:
     import jax
     import jax.numpy as jnp
@@ -130,15 +154,18 @@ def bench_reference_cpu(seq, n_steps: int = 12) -> float:
 def main():
     _enable_compile_cache()
     seq = _make_frames()
-    fps = bench_tpu(seq)
+    fps_scan = bench_tpu_scan(seq)
+    fps_stream = bench_tpu(seq)
     base = bench_reference_cpu(seq)
     print(
         json.dumps(
             {
                 "metric": "vio_frames_per_sec_per_chip",
-                "value": round(fps, 2),
+                "value": round(fps_scan, 2),
                 "unit": "frames/s",
-                "vs_baseline": round(fps / base, 3),
+                "vs_baseline": round(fps_scan / base, 3),
+                "streaming_fps": round(fps_stream, 2),
+                "baseline_cpu_fps": round(base, 2),
             }
         )
     )

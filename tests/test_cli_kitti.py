@@ -54,6 +54,7 @@ def test_cli_kitti_fixture(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     data = read_trajectory_csv(out)
-    assert len(data["frame"]) == 15
+    # 16 images: frame 1 initializes the engine, frames 2..15 are processed.
+    assert len(data["frame"]) == 14
     assert np.isfinite(data["est_p"]).all()
     assert np.isfinite(data["gt_p"]).all()

@@ -115,6 +115,7 @@ class VIOEngine:
                 state.kf_feat.desc, state.kf_feat.mask, feat.desc, feat.mask,
                 uv_a=state.kf_feat.uv,
                 ratio=fe.ratio_thresh, mutual=fe.mutual_check,
+                use_pallas=fe.use_pallas_matcher,
             )
             uv_i = state.kf_feat.uv
             uv_j = jnp.take(feat.uv, m.idx_b, axis=0)

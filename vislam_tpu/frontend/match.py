@@ -57,6 +57,7 @@ def match_descriptors(
     cell_rows: int = 0,
     cell_cols: int = 0,
     image_size=None,
+    use_pallas: bool = False,
 ) -> Matches:
     """Match descriptors A->B with ratio, mutual, and optional grid dedup.
 
@@ -64,25 +65,41 @@ def match_descriptors(
     If cell_rows/cols > 0 and uv_a/image_size are given, keep only the
     best (smallest-distance) match per spatial grid cell of image A —
     the reference's bestMatchesFilter semantics with static shapes.
+
+    use_pallas swaps the distance/top-2/reverse-argmin core for the fused
+    VMEM-resident kernel (ops/match_kernel.py); the filter chain is shared.
     """
-    # Squared L2 distances via MXU matmul.
-    sq_a = jnp.sum(desc_a * desc_a, axis=-1, keepdims=True)      # (K,1)
-    sq_b = jnp.sum(desc_b * desc_b, axis=-1, keepdims=True).T    # (1,K)
-    cross = jnp.dot(desc_a, desc_b.T, preferred_element_type=jnp.float32)
-    D = jnp.maximum(sq_a + sq_b - 2.0 * cross, 0.0)
+    K = desc_a.shape[0]
+    if use_pallas:
+        from vislam_tpu.ops.match_kernel import match_top2_pallas
 
-    # Invalidate padded rows/cols.
-    D = jnp.where(mask_a[:, None] & mask_b[None, :], D, _BIG)
+        min1, min2, arg1, colarg = match_top2_pallas(
+            desc_a, mask_a, desc_b, mask_b
+        )
+        ok = mask_a & (min1 < _BIG * 0.5)
+        ok &= min1 < (ratio * ratio) * jnp.maximum(min2, 1e-12)
+        if mutual:
+            safe_arg = jnp.clip(arg1, 0, K - 1)
+            ok &= jnp.take(colarg, safe_arg) == jnp.arange(K)
+    else:
+        # Squared L2 distances via MXU matmul.
+        sq_a = jnp.sum(desc_a * desc_a, axis=-1, keepdims=True)      # (K,1)
+        sq_b = jnp.sum(desc_b * desc_b, axis=-1, keepdims=True).T    # (1,K)
+        cross = jnp.dot(desc_a, desc_b.T, preferred_element_type=jnp.float32)
+        D = jnp.maximum(sq_a + sq_b - 2.0 * cross, 0.0)
 
-    min1, min2, arg1 = _top2_min(D)
-    ok = mask_a & (min1 < _BIG * 0.5)
-    # Lowe ratio on distances (squared dists -> ratio^2).
-    ok &= min1 < (ratio * ratio) * jnp.maximum(min2, 1e-12)
+        # Invalidate padded rows/cols.
+        D = jnp.where(mask_a[:, None] & mask_b[None, :], D, _BIG)
 
-    if mutual:
-        # Symmetry check: B->A argmin must point back.
-        argB = jnp.argmin(D, axis=0)  # (K,) best A row for each B col
-        ok &= argB[arg1] == jnp.arange(D.shape[0])
+        min1, min2, arg1 = _top2_min(D)
+        ok = mask_a & (min1 < _BIG * 0.5)
+        # Lowe ratio on distances (squared dists -> ratio^2).
+        ok &= min1 < (ratio * ratio) * jnp.maximum(min2, 1e-12)
+
+        if mutual:
+            # Symmetry check: B->A argmin must point back.
+            argB = jnp.argmin(D, axis=0)  # (K,) best A row for each B col
+            ok &= argB[arg1] == jnp.arange(D.shape[0])
 
     dist = jnp.sqrt(jnp.maximum(min1, 0.0))
 

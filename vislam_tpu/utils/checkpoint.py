@@ -53,5 +53,5 @@ def _template_from_leaves(leaves):
     return EngineState(
         q_wb=z[0], v_w=z[0], bias_g=z[0], bias_a=z[0], R_wc=z[0], p_wc=z[0],
         kf_R_wc=z[0], kf_p_wc=z[0], kf_feat=feat, window=win,
-        frame_idx=z[0], kf_count=z[0],
+        frame_idx=z[0], kf_count=z[0], kf_time=z[0], kf_dp_imu=z[0],
     )

@@ -43,6 +43,8 @@ class FrontendConfig:
     # Matching
     ratio_thresh: float = 0.8      # Lowe ratio (reference Matcher.cpp:158 uses 0.8)
     mutual_check: bool = True
+    use_pallas_matcher: bool = False  # fused Pallas kernel instead of the
+                                      # jnp matcher (no grid dedup in-kernel)
     max_matches: int = 512
     match_cell_rows: int = 7       # reference grid filter ~ sqrt(49) (Matcher.cpp:171-244)
     match_cell_cols: int = 7
