@@ -19,6 +19,8 @@ from vislam_tpu.backend.loop import (
     detect_loop_candidates,
     verify_loop,
 )
+from vislam_tpu.backend.pnp import pnp_gn, PnPResult
+from vislam_tpu.backend.trajectory_opt import KeyframeRecord, correct_trajectory
 
 __all__ = [
     "triangulate_midpoint",
@@ -38,4 +40,8 @@ __all__ = [
     "global_descriptors",
     "detect_loop_candidates",
     "verify_loop",
+    "pnp_gn",
+    "PnPResult",
+    "KeyframeRecord",
+    "correct_trajectory",
 ]
