@@ -43,6 +43,9 @@ def main(argv=None):
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--ba", action="store_true",
                     help="run sliding-window bundle adjustment on each keyframe")
+    ap.add_argument("--loop-correct", action="store_true",
+                    help="offline loop-closure detection + pose-graph "
+                         "correction after the run")
     ap.add_argument("--plot", default=None,
                     help="write trajectory/state plots with this path prefix")
     args = ap.parse_args(argv)
@@ -65,6 +68,20 @@ def main(argv=None):
     rows = []
     est_positions = []
     gt_positions = []
+    kf_archive = []
+
+    def archive_keyframe(state, frame_index):
+        if not args.loop_correct:
+            return
+        from vislam_tpu.backend.trajectory_opt import KeyframeRecord
+
+        kf_archive.append(KeyframeRecord(
+            frame_index=frame_index,
+            R_wc=np.asarray(state.kf_R_wc), p_wc=np.asarray(state.kf_p_wc),
+            uv=np.asarray(state.kf_feat.uv),
+            desc=np.asarray(state.kf_feat.desc),
+            kp_mask=np.asarray(state.kf_feat.mask),
+        ))
 
     if args.synthetic:
         from vislam_tpu.data import SyntheticConfig, make_synthetic_sequence
@@ -101,6 +118,7 @@ def main(argv=None):
                         state = refine_window(
                             state, eng.cfg, calib.fx, calib.fy, calib.cx, calib.cy
                         )
+                archive_keyframe(state, j)
             est_positions.append(np.asarray(res.p_wc))
             gt_positions.append(seq["gt_pos"][j])
             rows.append(dict(
@@ -177,6 +195,7 @@ def main(argv=None):
                         state = refine_window(
                             state, eng.cfg, calib.fx, calib.fy, calib.cx, calib.cy
                         )
+                archive_keyframe(state, fw.index)
             est_positions.append(np.asarray(res.p_wc))
             if fw.gt_pos is not None:
                 gt_positions.append(fw.gt_pos)
@@ -194,6 +213,22 @@ def main(argv=None):
     else:
         ap.error("either --dataset or --synthetic is required")
         return 2
+
+    if args.loop_correct and len(kf_archive) > 10:
+        from vislam_tpu.backend.trajectory_opt import correct_trajectory
+
+        with timer.stage("loop.correct"):
+            p_corr, R_corr, info = correct_trajectory(
+                kf_archive, calib.fx, calib.fy, calib.cx, calib.cy
+            )
+        print(f"loop closures: {info['loops']}")
+        if info["loops"]:
+            # Patch corrected keyframe positions into the output rows.
+            by_frame = {k.frame_index: i for i, k in enumerate(kf_archive)}
+            for r in rows:
+                i = by_frame.get(r["frame"])
+                if i is not None:
+                    r["est_p"] = p_corr[i]
 
     write_trajectory_csv(args.output, rows)
     n = len(rows)
