@@ -18,6 +18,14 @@ import jax  # noqa: E402
 # The axon TPU plugin ignores the env var; the config update is authoritative.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache: the suite is dominated by engine-step compiles;
+# repeat runs start warm (cache entries are platform-keyed, safe to share).
+_cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                      ".jax_cache")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
