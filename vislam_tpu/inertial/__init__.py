@@ -15,6 +15,7 @@ from vislam_tpu.inertial.preintegration import (
     preintegrate,
     dead_reckon,
 )
+from vislam_tpu.inertial.vi_align import VIAlignment, vi_align, refine_gravity
 
 __all__ = [
     "madgwick_step",
@@ -28,4 +29,7 @@ __all__ = [
     "Preintegrated",
     "preintegrate",
     "dead_reckon",
+    "VIAlignment",
+    "vi_align",
+    "refine_gravity",
 ]
