@@ -196,8 +196,10 @@ class VIOEngine:
             )
             solved = enough & (est_inliers >= 8)
             R_wc_j = jnp.where(solved, R_wc_j, R_wc_j_imu)
+            # IMU fallback uses the displacement accumulated since the
+            # keyframe (single-step dp froze the pose during visual outages).
             p_wc_j = jnp.where(
-                solved, p_wc_j, state.kf_p_wc + dp_world
+                solved, p_wc_j, state.kf_p_wc + dp_since_kf
             )
 
             # ---------------- keyframe policy (automatic thresholds)
