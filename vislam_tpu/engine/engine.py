@@ -79,7 +79,7 @@ class VIOEngine:
         R_wb0 = lie.quat_to_mat(q0)
         R_wc0 = R_wb0 @ self.R_bc
         return init_state(
-            feat0, q0, v0, p0, R_wc0,
+            feat0, img, q0, v0, p0, R_wc0,
             window_size=self.cfg.backend.window_size,
         )
 
@@ -175,6 +175,44 @@ class VIOEngine:
             t_ji = t_dir * scale  # frame-j coords: X_j = R_ji X_i + t_ji
             dp_world = dp_step  # single-frame prediction for the fallbacks
 
+            if en.photometric_refine:
+                # Direct intensity refinement of (R_ji, t_ji) — the role of
+                # the reference's EstimatePoseFeatures GN
+                # (VISystem.cpp:1113-1448) as a post-RANSAC polish: depths
+                # from triangulating the inlier matches, coarse-to-fine
+                # alignment on the pyramid, guarded acceptance.
+                from vislam_tpu.backend.photometric import photometric_align
+                from vislam_tpu.backend.triangulate import triangulate_midpoint
+                from vislam_tpu.frontend.pyramid import build_pyramid
+
+                kf_pyr = build_pyramid(state.kf_image, fe.num_levels)
+                cur_pyr = build_pyramid(image, fe.num_levels)
+                X_i3, d_i, d_j, gap = triangulate_midpoint(
+                    rays_i, rays_j, R_ji, t_ji
+                )
+                pts_ok = (
+                    est_inlier_mask & (d_i > be.min_depth) & (d_i < be.max_depth)
+                    & (d_j > be.min_depth) & (gap < 0.05 * d_i)
+                )
+                depths = d_i * rays_i[:, 2]  # z-depth of kf pixel
+                pres = photometric_align(
+                    kf_pyr, cur_pyr, uv_i, depths, pts_ok,
+                    R_ji, t_ji, fx, fy, cx, cy,
+                    levels=(2, 1, 0), iters_per_level=5,
+                )
+                # Guarded acceptance: finite, enough points, small deviation.
+                drot = jnp.linalg.norm(lie.so3_log(pres.R @ R_ji.T))
+                dt_rel = jnp.linalg.norm(pres.t - t_ji) / jnp.maximum(scale, 1e-6)
+                ok_ref = (
+                    jnp.all(jnp.isfinite(pres.t)) & jnp.all(jnp.isfinite(pres.R))
+                    & (pres.num_valid >= 30) & (drot < 0.05) & (dt_rel < 0.5)
+                )
+                R_ji = jnp.where(ok_ref, lie.orthonormalize(pres.R), R_ji)
+                # Keep the scale pinned (GT/IMU), take the refined direction.
+                t_ref_n = jnp.linalg.norm(pres.t)
+                t_ref_dir = pres.t / jnp.maximum(t_ref_n, 1e-9)
+                t_ji = jnp.where(ok_ref, t_ref_dir * scale, t_ji)
+
             # ---------------- relative pose -> world pose
             # T_cw_j = [R_ji | t_ji] ∘ T_cw_i; invert to camera-to-world.
             R_cw_i = state.kf_R_wc.T
@@ -211,6 +249,7 @@ class VIOEngine:
             # ---------------- state update (where-gated, no control flow)
             sel = lambda a, b: jnp.where(is_kf, a, b)
             new_kf_feat = jax.tree.map(sel, feat, state.kf_feat)
+            new_kf_image = jnp.where(is_kf, image, state.kf_image)
             win = state.window
             # Roll the window left when full, write at slot `min(count, W-1)`.
             Wn = win.uv.shape[0]
@@ -280,6 +319,7 @@ class VIOEngine:
                 kf_R_wc=sel(R_wc_j, state.kf_R_wc),
                 kf_p_wc=sel(p_wc_j, state.kf_p_wc),
                 kf_feat=new_kf_feat,
+                kf_image=new_kf_image,
                 window=new_window,
                 frame_idx=state.frame_idx + 1,
                 kf_count=state.kf_count + is_kf.astype(jnp.int32),

@@ -43,6 +43,7 @@ class EngineState(NamedTuple):
     kf_R_wc: jnp.ndarray     # (3, 3)
     kf_p_wc: jnp.ndarray     # (3,)
     kf_feat: Features
+    kf_image: jnp.ndarray    # (H, W) f32 keyframe image (photometric refine)
     # Rolling keyframe window for windowed BA.
     window: KeyframeWindow
     frame_idx: jnp.ndarray   # () int32
@@ -65,6 +66,7 @@ def init_window(W: int, K: int, D: int) -> KeyframeWindow:
 
 def init_state(
     feat0: Features,
+    image0,
     q_wb0,
     v_w0,
     p_wc0,
@@ -103,6 +105,7 @@ def init_state(
         kf_R_wc=jnp.asarray(R_wc0, jnp.float32),
         kf_p_wc=jnp.asarray(p_wc0, jnp.float32),
         kf_feat=feat0,
+        kf_image=jnp.asarray(image0, jnp.float32),
         window=win,
         frame_idx=jnp.zeros((), jnp.int32),
         kf_count=jnp.asarray(1, jnp.int32),

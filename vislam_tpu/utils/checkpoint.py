@@ -52,6 +52,6 @@ def _template_from_leaves(leaves):
                          valid=z[0], count=z[0])
     return EngineState(
         q_wb=z[0], v_w=z[0], bias_g=z[0], bias_a=z[0], R_wc=z[0], p_wc=z[0],
-        kf_R_wc=z[0], kf_p_wc=z[0], kf_feat=feat, window=win,
+        kf_R_wc=z[0], kf_p_wc=z[0], kf_feat=feat, kf_image=z[0], window=win,
         frame_idx=z[0], kf_count=z[0], kf_time=z[0], kf_dp_imu=z[0],
     )

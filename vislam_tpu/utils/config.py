@@ -94,6 +94,9 @@ class EngineConfig:
     vision_rotation: bool = False     # estimate R from the essential matrix
                                       # instead of the IMU (KITTI: no IMU);
                                       # static flag -> separate compiled step
+    photometric_refine: bool = False  # refine the two-view pose by direct
+                                      # coarse-to-fine intensity alignment
+                                      # after the epipolar solve
     imu_window: int = 16              # padded IMU samples per frame (EUROC: 16)
     gravity: float = 9.81             # reference uses 9.68 (src/Imu.cpp:337); see SURVEY §7
     max_velocity: float = 30.0        # m/s sanity clamp (divergence guard)
