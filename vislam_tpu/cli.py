@@ -186,8 +186,30 @@ def main(argv=None):
             cfg = dataclasses.replace(
                 cfg, engine=dataclasses.replace(cfg.engine, photometric_refine=True)
             )
+        # Real cameras are distorted: precompute the rectify maps once and
+        # remap every frame on device (reference CameraModel::Undistort,
+        # src/CameraModel.cpp:84-105); the engine then runs on the
+        # distortion-free rectified intrinsics.
+        undistort = None
+        if calib.has_distortion:
+            from vislam_tpu.calib import compute_undistort_maps, remap_bilinear
+
+            with timer.stage("undistort.precompute"):
+                maps, calib = compute_undistort_maps(calib)
+            maps_j = jnp.asarray(maps)
+            import jax as _jax
+
+            _remap = _jax.jit(lambda im: remap_bilinear(im, maps_j))
+
+            def undistort(img):
+                return _remap(jnp.asarray(img, jnp.float32))
+
         eng = VIOEngine(calib, cfg)
         fw0 = ds.frame_window(start)
+        if undistort is not None:
+            import dataclasses as _dc2
+
+            fw0 = _dc2.replace(fw0, image=np.asarray(undistort(fw0.image)))
         gt_q0 = fw0.gt_quat if fw0.gt_quat is not None else np.array([1.0, 0, 0, 0])
         gt_p0 = fw0.gt_pos if fw0.gt_pos is not None else np.zeros(3)
         gt_v0 = fw0.gt_vel if fw0.gt_vel is not None else np.zeros(3)
@@ -201,8 +223,12 @@ def main(argv=None):
             gt_norm = -1.0
             if args.gt_scale and fw.gt_pos is not None:
                 gt_norm = float(np.linalg.norm(fw.gt_pos - last_kf_pos))
+            img_in = fw.image
+            if undistort is not None:
+                with timer.stage("undistort"):
+                    img_in = undistort(img_in)
             with timer.stage("engine.step"):
-                state, res = eng.step(state, fw.image, fw.imu, fw.imu_dt, gt_norm)
+                state, res = eng.step(state, img_in, fw.imu, fw.imu_dt, gt_norm)
             if bool(res.is_keyframe):
                 if fw.gt_pos is not None:
                     last_kf_pos = fw.gt_pos
