@@ -49,8 +49,16 @@ def test_refine_reduces_reprojection_cost(run):
 
 
 def test_refine_recovers_corrupted_pose(run):
+    """The 'oldest2' gauge refines the newest pose: a corrupted anchor pose
+    must be pulled back by the window's observations."""
+    import dataclasses
+
     seq, eng, state = run
     calib = seq["calib"]
+    cfg = dataclasses.replace(
+        eng.cfg, backend=dataclasses.replace(eng.cfg.backend,
+                                             online_gauge="oldest2")
+    )
     W = state.window.uv.shape[0]
     slot = int(np.clip(int(state.window.count) - 1, 0, W - 1))
 
@@ -60,8 +68,23 @@ def test_refine_recovers_corrupted_pose(run):
     t_cw[slot] += np.array([0.15, -0.1, 0.08], np.float32)
     bad = state._replace(window=state.window._replace(t_cw=jnp.asarray(t_cw)))
 
-    refined = refine_window(bad, eng.cfg, calib.fx, calib.fy, calib.cx, calib.cy)
+    refined = refine_window(bad, cfg, calib.fx, calib.fy, calib.cx, calib.cy)
     t_ref = np.asarray(refined.window.t_cw)[slot]
     err_before = np.linalg.norm(t_cw[slot] - t_true)
     err_after = np.linalg.norm(t_ref - t_true)
     assert err_after < 0.5 * err_before, (err_before, err_after)
+
+
+def test_ends_gauge_leaves_anchor_untouched(run):
+    """The default 'ends' gauge must never move the live anchor."""
+    seq, eng, state = run
+    calib = seq["calib"]
+    assert eng.cfg.backend.online_gauge == "ends"
+    refined = refine_window(state, eng.cfg, calib.fx, calib.fy,
+                            calib.cx, calib.cy)
+    np.testing.assert_allclose(
+        np.asarray(refined.kf_p_wc), np.asarray(state.kf_p_wc), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(refined.kf_R_wc), np.asarray(state.kf_R_wc), atol=1e-5
+    )

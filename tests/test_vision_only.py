@@ -17,7 +17,11 @@ def run():
     seq = make_synthetic_sequence(SyntheticConfig(n_frames=30, n_landmarks=300, seed=14))
     cfg = SystemConfig()
     cfg = dataclasses.replace(
-        cfg, engine=dataclasses.replace(cfg.engine, vision_rotation=True)
+        cfg,
+        engine=dataclasses.replace(cfg.engine, vision_rotation=True),
+        # Noisy vision-only odometry benefits from anchor-refining BA
+        # (measured: rotation drift 9.7 -> 5.7 deg with "oldest2").
+        backend=dataclasses.replace(cfg.backend, online_gauge="oldest2"),
     )
     eng = VIOEngine(seq["calib"], cfg)
     calib = seq["calib"]

@@ -158,7 +158,7 @@ def _inv3x3(M):
 
 
 def schur_solve(Hpp, Hpl, Hll, bp, bl, lam, fix_first: int = 1,
-                axis_name: str | None = None):
+                axis_name: str | None = None, fixed_mask=None):
     """Damped Schur-complement solve.
 
     Returns (dxi (W,6), dX (L,3)). The landmark system is eliminated in
@@ -202,11 +202,19 @@ def schur_solve(Hpp, Hpl, Hll, bp, bl, lam, fix_first: int = 1,
 
     Sm = S.transpose(0, 2, 1, 3).reshape(W * 6, W * 6)
     rm = rhs.reshape(W * 6)
-    n_fixed = int(fix_first)
-    if n_fixed:
-        # Gauge fixing: zero out the first n_fixed poses' rows/cols with
-        # identity diagonal. One fixed pose pins the 6-DoF frame; monocular
-        # problems need a second fixed pose to pin the scale (7th gauge DoF).
+    # Gauge fixing: zero the fixed poses' rows/cols with identity diagonal.
+    # One fixed pose pins the 6-DoF frame; monocular problems need a second
+    # to pin the scale (7th gauge DoF). `fixed_mask` (W,) overrides the
+    # first-n convention — e.g. fixing BOTH window ends keeps the live
+    # anchor untouched for online refinement (no feedback instability).
+    if fixed_mask is not None:
+        free = jnp.repeat(~fixed_mask, 6)
+        Sm = jnp.where(free[:, None] & free[None, :], Sm, 0.0)
+        diag = jnp.arange(W * 6)
+        Sm = Sm.at[diag, diag].add(jnp.where(free, 0.0, 1.0))
+        rm = jnp.where(free, rm, 0.0)
+    elif int(fix_first):
+        n_fixed = int(fix_first)
         g = jnp.arange(W * 6)
         free = g >= 6 * n_fixed
         Sm = jnp.where(free[:, None] & free[None, :], Sm, 0.0)
@@ -239,16 +247,19 @@ def bundle_adjust(
     lam0: float = 1e-3,
     huber_delta: float = 2.0,
     fix_first: int = 1,
+    fixed_mask=None,
 ):
     """LM loop with accept/reject damping, as a lax.scan (fixed iters).
 
+    fixed_mask (W,) bool overrides fix_first with an arbitrary gauge set.
     Returns (state, info dict with per-iter cost and final lambda).
     """
 
     def step(carry, _):
         state, lam, cost = carry
         Hpp, Hpl, Hll, bp, bl, _ = build_normal_equations(state, prob, huber_delta)
-        dxi, dX = schur_solve(Hpp, Hpl, Hll, bp, bl, lam, fix_first)
+        dxi, dX = schur_solve(Hpp, Hpl, Hll, bp, bl, lam, fix_first,
+                              fixed_mask=fixed_mask)
         cand = _apply_update(state, dxi, dX)
         cand_cost = robust_cost(cand, prob, huber_delta)
         # Reject non-finite steps outright (a NaN state would otherwise mask

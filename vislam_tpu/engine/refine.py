@@ -126,11 +126,19 @@ def refine_window(state: EngineState, cfg: SystemConfig,
                        X=jnp.where(track_ok[:, None], X_w, 1.0))
     prob = BAProblem(obs_uv=obs_uv, obs_mask=obs_mask,
                      fx=fx, fy=fy, cx=cx, cy=cy)
-    # fix_first=2: monocular BA has a 7-DoF gauge; fixing two poses pins the
-    # frame AND the scale (one fixed pose would let the window rescale).
+    # Monocular BA has a 7-DoF gauge: at least two poses must be fixed to
+    # pin the frame AND the scale. Gauge choice (static config):
+    #   "oldest2": slots {0, 1} fixed, anchor refined (capped feedback)
+    #   "ends":    slots {0, 1, newest} fixed — anchor untouched (default;
+    #              the oldest2 feedback destabilizes strong-IMU runs)
+    W_idx = jnp.arange(W)
+    anchor_slot = jnp.clip(win.count - 1, 0, W - 1)
+    fixed = (W_idx < 2)
+    if be.online_gauge == "ends":
+        fixed = fixed | (W_idx == anchor_slot)
     refined, info = bundle_adjust(
         ba_state, prob, iters=be.lm_iters, lam0=be.lm_lambda0,
-        huber_delta=be.huber_delta, fix_first=2,
+        huber_delta=be.huber_delta, fixed_mask=fixed,
     )
 
     # Keep the refinement only if the BA actually improved and is sane.

@@ -72,6 +72,12 @@ class BackendConfig:
     # stable (uncapped corrections measured to trigger runaway divergence).
     max_anchor_trans: float = 0.10  # meters per refinement
     max_anchor_rot: float = 0.035   # radians (~2 deg) per refinement
+    # Window gauge for online refinement:
+    #   "oldest2" — fix the two oldest poses; the live anchor IS refined
+    #               (capped). Helps when odometry is noisy (vision-only).
+    #   "ends"    — fix oldest + newest; interior poses refine, the live
+    #               anchor never moves (no feedback; safe default).
+    online_gauge: str = "ends"
     huber_delta: float = 2.0       # pixels (robust loss; reference had Tukey, disabled)
     min_depth: float = 0.05
     max_depth: float = 200.0
