@@ -16,8 +16,7 @@ automatic thresholds (22 px disparity / 5 deg rotation, :313-316).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

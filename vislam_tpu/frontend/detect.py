@@ -20,7 +20,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from vislam_tpu.frontend.pyramid import scharr_gradients, gaussian_blur, _conv2d_same
+from vislam_tpu.frontend.pyramid import scharr_gradients, gaussian_blur
 
 
 class Keypoints(NamedTuple):
