@@ -20,6 +20,12 @@ from vislam_tpu.backend.loop import (
     verify_loop,
 )
 from vislam_tpu.backend.pnp import pnp_gn, PnPResult
+from vislam_tpu.backend.sim3_graph import (
+    Sim3Graph,
+    optimize_sim3_graph,
+    sim3_graph_residuals,
+    sim3_odometry_edges,
+)
 from vislam_tpu.backend.trajectory_opt import KeyframeRecord, correct_trajectory
 
 __all__ = [
@@ -41,6 +47,10 @@ __all__ = [
     "detect_loop_candidates",
     "verify_loop",
     "pnp_gn",
+    "Sim3Graph",
+    "optimize_sim3_graph",
+    "sim3_graph_residuals",
+    "sim3_odometry_edges",
     "PnPResult",
     "KeyframeRecord",
     "correct_trajectory",

@@ -37,6 +37,14 @@ from vislam_tpu.lie.se3 import (
     se3_from_matrix,
     se3_adjoint,
 )
+from vislam_tpu.lie.sim3 import (
+    sim3_identity,
+    sim3_exp,
+    sim3_log,
+    sim3_compose,
+    sim3_inverse,
+    sim3_apply,
+)
 from vislam_tpu.lie.euler import (
     rpy_to_quat,
     quat_to_rpy,
