@@ -124,6 +124,28 @@ def test_feature_matching_across_frames():
     assert (d < 50).mean() > 0.85  # residual outliers are RANSAC's job
 
 
+def test_guided_matching_gate(rng):
+    K, D = 32, 16
+    a = rng.normal(size=(K, D)).astype(np.float32)
+    a /= np.linalg.norm(a, axis=-1, keepdims=True)
+    b = a.copy()
+    uv_pred = rng.uniform(0, 400, (K, 2)).astype(np.float32)
+    # Within the gate: all matches survive.
+    m_in = match_descriptors(
+        jnp.asarray(a), jnp.ones(K, bool), jnp.asarray(b), jnp.ones(K, bool),
+        ratio=2.0, uv_pred=jnp.asarray(uv_pred),
+        uv_b=jnp.asarray(uv_pred + 3.0), gate_radius=10.0,
+    )
+    assert int(np.asarray(m_in.mask).sum()) == K
+    # Outside the gate: none survive.
+    m_out = match_descriptors(
+        jnp.asarray(a), jnp.ones(K, bool), jnp.asarray(b), jnp.ones(K, bool),
+        ratio=2.0, uv_pred=jnp.asarray(uv_pred),
+        uv_b=jnp.asarray(uv_pred + 50.0), gate_radius=10.0,
+    )
+    assert int(np.asarray(m_out.mask).sum()) == 0
+
+
 def test_multilevel_extraction():
     import dataclasses
 

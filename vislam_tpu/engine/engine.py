@@ -110,12 +110,32 @@ class VIOEngine:
 
             # ---------------- frontend
             feat = extract_features(image, fe)
-            m = match_descriptors(
-                state.kf_feat.desc, state.kf_feat.mask, feat.desc, feat.mask,
-                uv_a=state.kf_feat.uv,
-                ratio=fe.ratio_thresh, mutual=fe.mutual_check,
-                use_pallas=fe.use_pallas_matcher,
-            )
+            if fe.guided_gate_px > 0:
+                # Guided matching: predict each keyframe keypoint's position
+                # in the new frame under the IMU rotation (infinite-depth
+                # homography K R K^-1) and gate candidates to a disc.
+                x = (state.kf_feat.uv[:, 0] - cx) / fx
+                y = (state.kf_feat.uv[:, 1] - cy) / fy
+                rays_kf = jnp.stack([x, y, jnp.ones_like(x)], -1)
+                warped = rays_kf @ R_ji_imu.T
+                wz = jnp.where(jnp.abs(warped[:, 2]) > 1e-6, warped[:, 2], 1e-6)
+                uv_pred = jnp.stack(
+                    [warped[:, 0] / wz * fx + cx, warped[:, 1] / wz * fy + cy], -1
+                )
+                m = match_descriptors(
+                    state.kf_feat.desc, state.kf_feat.mask, feat.desc, feat.mask,
+                    uv_a=state.kf_feat.uv,
+                    ratio=fe.ratio_thresh, mutual=fe.mutual_check,
+                    uv_pred=uv_pred, uv_b=feat.uv,
+                    gate_radius=fe.guided_gate_px,
+                )
+            else:
+                m = match_descriptors(
+                    state.kf_feat.desc, state.kf_feat.mask, feat.desc, feat.mask,
+                    uv_a=state.kf_feat.uv,
+                    ratio=fe.ratio_thresh, mutual=fe.mutual_check,
+                    use_pallas=fe.use_pallas_matcher,
+                )
             uv_i = state.kf_feat.uv
             uv_j = jnp.take(feat.uv, m.idx_b, axis=0)
             num_matches = jnp.sum(m.mask).astype(jnp.int32)

@@ -58,6 +58,9 @@ def match_descriptors(
     cell_cols: int = 0,
     image_size=None,
     use_pallas: bool = False,
+    uv_pred=None,
+    uv_b=None,
+    gate_radius: float = 0.0,
 ) -> Matches:
     """Match descriptors A->B with ratio, mutual, and optional grid dedup.
 
@@ -66,11 +69,19 @@ def match_descriptors(
     best (smallest-distance) match per spatial grid cell of image A —
     the reference's bestMatchesFilter semantics with static shapes.
 
+    Guided matching: when uv_pred (K,2 predicted position of each A keypoint
+    in image B — e.g. the IMU-rotation warp), uv_b (K,2 B keypoint positions)
+    and gate_radius > 0 are given, candidate pairs outside the prediction
+    disc are excluded BEFORE the ratio test — suppressing mismatches in
+    repetitive texture and tightening the ratio statistics.
+
     use_pallas swaps the distance/top-2/reverse-argmin core for the fused
-    VMEM-resident kernel (ops/match_kernel.py); the filter chain is shared.
+    VMEM-resident kernel (ops/match_kernel.py); the filter chain is shared
+    (gating is not available on the pallas path yet).
     """
     K = desc_a.shape[0]
-    if use_pallas:
+    gated = uv_pred is not None and uv_b is not None and gate_radius > 0.0
+    if use_pallas and not gated:
         from vislam_tpu.ops.match_kernel import match_top2_pallas
 
         min1, min2, arg1, colarg = match_top2_pallas(
@@ -90,6 +101,13 @@ def match_descriptors(
 
         # Invalidate padded rows/cols.
         D = jnp.where(mask_a[:, None] & mask_b[None, :], D, _BIG)
+
+        if gated:
+            du = uv_pred[:, None, 0] - uv_b[None, :, 0]
+            dv = uv_pred[:, None, 1] - uv_b[None, :, 1]
+            D = jnp.where(
+                du * du + dv * dv <= gate_radius * gate_radius, D, _BIG
+            )
 
         min1, min2, arg1 = _top2_min(D)
         ok = mask_a & (min1 < _BIG * 0.5)

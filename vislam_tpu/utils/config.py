@@ -45,6 +45,14 @@ class FrontendConfig:
     mutual_check: bool = True
     use_pallas_matcher: bool = False  # fused Pallas kernel instead of the
                                       # jnp matcher (no grid dedup in-kernel)
+    guided_gate_px: float = 0.0    # >0: guided matching — exclude candidate
+                                   # pairs farther than this from the
+                                   # IMU-rotation-predicted position.
+                                   # Suppresses repetitive-texture mismatches
+                                   # but also discards large-parallax matches
+                                   # (the most translation-informative ones):
+                                   # set comfortably above max expected
+                                   # parallax, or leave 0 (off).
     max_matches: int = 512
     match_cell_rows: int = 7       # reference grid filter ~ sqrt(49) (Matcher.cpp:171-244)
     match_cell_cols: int = 7
