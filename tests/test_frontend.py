@@ -137,13 +137,20 @@ def test_guided_matching_gate(rng):
         uv_b=jnp.asarray(uv_pred + 3.0), gate_radius=10.0,
     )
     assert int(np.asarray(m_in.mask).sum()) == K
-    # Outside the gate: none survive.
+    # True counterparts pushed outside the gate: every SURVIVING match must
+    # still satisfy the gate (only accidental in-gate pairs may remain).
+    uv_b_far = uv_pred + 50.0
     m_out = match_descriptors(
         jnp.asarray(a), jnp.ones(K, bool), jnp.asarray(b), jnp.ones(K, bool),
         ratio=2.0, uv_pred=jnp.asarray(uv_pred),
-        uv_b=jnp.asarray(uv_pred + 50.0), gate_radius=10.0,
+        uv_b=jnp.asarray(uv_b_far), gate_radius=10.0,
     )
-    assert int(np.asarray(m_out.mask).sum()) == 0
+    mask = np.asarray(m_out.mask)
+    # The identical-descriptor diagonal (distance ~70 px) must be gated out.
+    idx = np.asarray(m_out.idx_b)
+    assert not (mask & (idx == np.arange(K))).any()
+    d = np.linalg.norm(uv_pred - uv_b_far[idx], axis=-1)
+    assert np.all(d[mask] <= 10.0 + 1e-3)
 
 
 def test_multilevel_extraction():
