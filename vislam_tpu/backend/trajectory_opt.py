@@ -51,8 +51,14 @@ def correct_trajectory(
     loop_weight: float = 5.0,
     iters: int = 15,
     seed: int = 0,
+    use_sim3: bool = False,
 ):
     """Returns (corrected positions (N,3), corrected rotations (N,3,3), info).
+
+    use_sim3 optimizes a 7-DoF similarity graph instead of SE(3) — use when
+    the odometry's monocular scale drifts (IMU-scale or vision-only runs);
+    the loop's scale inconsistency then distributes along the trajectory
+    instead of being forced into pose error.
 
     Loop edges carry the *measured* relative rotation/translation-direction
     from essential-matrix verification, with the translation magnitude taken
@@ -153,15 +159,32 @@ def correct_trajectory(
         et = jnp.concatenate([et, lt])
         w = jnp.concatenate([w, lw])
 
-    pg = PoseGraph(jnp.asarray(R_n), jnp.asarray(t_n), ei, ej, eR, et, w)
-    out, info = optimize_pose_graph(pg, iters=iters)
+    if use_sim3:
+        from vislam_tpu.backend.sim3_graph import Sim3Graph, optimize_sim3_graph
 
-    R_wc_o = np.asarray(out.R)
-    p_o = np.asarray(out.t)
+        ones_e = jnp.ones(ei.shape[0], jnp.float32)
+        sg = Sim3Graph(
+            R=jnp.asarray(R_n), t=jnp.asarray(t_n),
+            s=jnp.ones(N, jnp.float32),
+            edge_i=ei, edge_j=ej, edge_R=eR, edge_t=et,
+            edge_s=ones_e, edge_weight=w,
+        )
+        out, info = optimize_sim3_graph(sg, iters=iters)
+        R_wc_o = np.asarray(out.R)
+        p_o = np.asarray(out.t)
+        scales = np.asarray(out.s)
+    else:
+        pg = PoseGraph(jnp.asarray(R_n), jnp.asarray(t_n), ei, ej, eR, et, w)
+        out, info = optimize_pose_graph(pg, iters=iters)
+        R_wc_o = np.asarray(out.R)
+        p_o = np.asarray(out.t)
+        scales = np.ones(N, np.float32)
+
     return p_o, R_wc_o, {
         "loops": [(a, b, n) for a, b, _, _, n in loops],
         "initial_cost": float(info["initial_cost"]),
         "final_cost": float(info["final_cost"]),
+        "scales": scales,
     }
 
 
