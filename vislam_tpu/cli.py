@@ -44,6 +44,10 @@ def main(argv=None):
     ap.add_argument("--imu-scale", dest="gt_scale", action="store_false",
                     help="use IMU preintegration for scale instead of GT")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--scan", action="store_true",
+                    help="offline mode: stage all frames and run the whole "
+                         "sequence as one on-device scan (max throughput; "
+                         "no --ba/--loop-correct)")
     ap.add_argument("--ba", action="store_true",
                     help="run sliding-window bundle adjustment on each keyframe")
     ap.add_argument("--loop-correct", action="store_true",
@@ -217,9 +221,51 @@ def main(argv=None):
         if bias_g is not None:
             state = state._replace(bias_g=jnp.asarray(bias_g, jnp.float32))
 
+        if args.scan:
+            from vislam_tpu.engine import run_sequence_scan, stage_dataset
+
+            with timer.stage("scan.stage"):
+                inputs = stage_dataset(
+                    ds, start + 1, end, use_gt_scale=args.gt_scale,
+                    undistort=undistort,
+                )
+            with timer.stage("scan.run"):
+                state, results = run_sequence_scan(
+                    eng, state, inputs, kf_gt_pos0=gt_p0
+                )
+                import jax as _jax2
+
+                _jax2.block_until_ready(results.p_wc)
+            wall = timer.total["scan.run"]
+            n_res = int(results.p_wc.shape[0])
+            for k in range(n_res):
+                j = start + 1 + k
+                fwj = None  # GT columns come from the staged arrays
+                p = np.asarray(results.p_wc[k])
+                est_positions.append(p)
+                gtp = np.asarray(inputs.gt_pos[k])
+                if bool(inputs.use_gt_scale):
+                    gt_positions.append(gtp)
+                rows.append(dict(
+                    frame=j, t_ns=int(ds.image_t_ns[j]),
+                    is_kf=bool(results.is_keyframe[k]),
+                    est_p=p,
+                    est_rpy=np.asarray(
+                        lie.quat_to_rpy(jnp.asarray(results.q_wb[k]))
+                    ),
+                    est_q=np.asarray(results.q_wb[k]),
+                    est_v=np.asarray(results.v_w[k]),
+                    gt_p=gtp if bool(inputs.use_gt_scale) else None,
+                    gt_rpy=None, gt_q=None, gt_v=None,
+                ))
+            frames_done = n_res
+        else:
+            frames_done = None
+
         last_kf_pos = gt_p0
         t0 = time.perf_counter()
-        for fw in PrefetchLoader(ds, start=start + 1, end=end):
+        for fw in (PrefetchLoader(ds, start=start + 1, end=end)
+                   if not args.scan else []):
             gt_norm = -1.0
             if args.gt_scale and fw.gt_pos is not None:
                 gt_norm = float(np.linalg.norm(fw.gt_pos - last_kf_pos))
@@ -251,7 +297,8 @@ def main(argv=None):
                 else np.asarray(lie.quat_to_rpy(jnp.asarray(fw.gt_quat, jnp.float32))),
                 gt_q=fw.gt_quat, gt_v=fw.gt_vel,
             ))
-        wall = time.perf_counter() - t0
+        if not args.scan:
+            wall = time.perf_counter() - t0
     else:
         ap.error("either --dataset or --synthetic is required")
         return 2

@@ -3,6 +3,7 @@ from vislam_tpu.engine.engine import VIOEngine, FrameResult
 from vislam_tpu.engine.batch import (
     SequenceInputs,
     make_sequence_inputs,
+    stage_dataset,
     run_sequence_scan,
     run_batch_scan,
 )
@@ -15,6 +16,7 @@ __all__ = [
     "FrameResult",
     "SequenceInputs",
     "make_sequence_inputs",
+    "stage_dataset",
     "run_sequence_scan",
     "run_batch_scan",
 ]
