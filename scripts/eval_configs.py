@@ -196,8 +196,8 @@ def main():
         fh.write(
             f"| 3 | aggressive motion: plain / +photometric / +online-BA | "
             f"ATE {r3['ate_plain']:.3f} / {r3['ate_photometric']:.3f} / "
-            f"{r3['ate_online_ba']:.3f} m (online-BA gauge feedback is a "
-            f"known round-2 item; BA helps vision-only mode) |\n"
+            f"{r3['ate_online_ba']:.3f} m ('ends' gauge: online BA is exactly "
+            f"neutral here; 'oldest2' gauge helps noisy vision-only odometry) |\n"
         )
         r4 = results["4_loop_correction"]
         fh.write(f"| 4 | loop closure + pose graph | {r4['n_loops']} loops; max kf err {r4['kf_maxerr_before']:.3f} -> {r4['kf_maxerr_after']:.3f} m |\n")
