@@ -55,7 +55,30 @@ def main(argv=None):
                          "correction after the run")
     ap.add_argument("--plot", default=None,
                     help="write trajectory/state plots with this path prefix")
+    ap.add_argument("--detector", default="shi_tomasi",
+                    choices=["shi_tomasi", "harris", "dog", "hessian", "fast"],
+                    help="corner/blob response family (role of the reference "
+                         "detector factory: SIFT~dog, SURF~hessian, ORB~fast)")
+    ap.add_argument("--descriptor", default="sift", choices=["sift", "brief"],
+                    help="float SIFT-128 or binary steered-BRIEF-256 "
+                         "(Hamming-equivalent MXU matching)")
+    ap.add_argument("--oriented", action="store_true",
+                    help="rotate descriptors by keypoint orientation "
+                         "(rotation invariance; upright is default for VIO)")
     args = ap.parse_args(argv)
+
+    def _with_frontend(cfg_):
+        """Apply detector/descriptor CLI choices to a SystemConfig."""
+        import dataclasses as _d
+
+        if (args.detector, args.descriptor, args.oriented) == (
+            "shi_tomasi", "sift", False
+        ):
+            return cfg_
+        return _d.replace(cfg_, frontend=_d.replace(
+            cfg_.frontend, detector=args.detector,
+            descriptor=args.descriptor, oriented=args.oriented,
+        ))
 
     if args.cpu:
         import jax
@@ -101,7 +124,7 @@ def main(argv=None):
 
         from vislam_tpu.utils.config import SystemConfig as _SC
 
-        _cfg = _SC()
+        _cfg = _with_frontend(_SC())
         if args.photometric:
             _cfg = _dc.replace(
                 _cfg, engine=_dc.replace(_cfg.engine, photometric_refine=True)
@@ -181,7 +204,7 @@ def main(argv=None):
 
         from vislam_tpu.utils.config import SystemConfig
 
-        cfg = SystemConfig()
+        cfg = _with_frontend(SystemConfig())
         if args.vision_rotation or args.format == "kitti":
             cfg = dataclasses.replace(
                 cfg, engine=dataclasses.replace(cfg.engine, vision_rotation=True)

@@ -19,6 +19,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from vislam_tpu.frontend.pyramid import scharr_gradients, gaussian_blur
 
@@ -46,6 +47,86 @@ def harris_response(img, k: float = 0.04, sigma: float = 1.5):
     half_tr = 0.5 * (a + c)
     half_diff = 0.5 * (a - c)
     return half_tr - jnp.sqrt(half_diff * half_diff + b * b + 1e-12)
+
+
+def harris_cornerness(img, k: float = 0.04, sigma: float = 1.5):
+    """Classic Harris det - k*tr^2 cornerness (the reference detector family's
+    corner measure underlying its grid candidate selection)."""
+    gx, gy = scharr_gradients(img)
+    a = gaussian_blur(gx * gx, sigma)
+    b = gaussian_blur(gx * gy, sigma)
+    c = gaussian_blur(gy * gy, sigma)
+    det = a * c - b * b
+    tr = a + c
+    return det - k * tr * tr
+
+
+def dog_response(img, sigma1: float = 1.0, sigma2: float = 1.6):
+    """Difference-of-Gaussians blob response (|DoG|) — the SIFT/KAZE-family
+    scale-space extremum measure (role of the reference's SIFT/KAZE options,
+    /root/reference/src/Camera.cpp:94-138). Pure convs; XLA fuses."""
+    return jnp.abs(gaussian_blur(img, sigma1, radius=3)
+                   - gaussian_blur(img, sigma2, radius=4))
+
+
+def hessian_response(img, sigma: float = 1.5):
+    """Determinant-of-Hessian blob response — the SURF-family interest
+    measure (role of the reference's default SURF detector,
+    /root/reference/calibration/calibrationEUROC.xml:57)."""
+    sm = gaussian_blur(img, sigma, radius=3)
+    gx, gy = scharr_gradients(sm)
+    gxx, gxy = scharr_gradients(gx)
+    _, gyy = scharr_gradients(gy)
+    return gxx * gyy - gxy * gxy
+
+
+# Bresenham circle of radius 3 — the FAST-16 sampling ring, as (dv, du).
+_FAST_RING = np.array(
+    [(-3, 0), (-3, 1), (-2, 2), (-1, 3), (0, 3), (1, 3), (2, 2), (3, 1),
+     (3, 0), (3, -1), (2, -2), (1, -3), (0, -3), (-1, -3), (-2, -2), (-3, -1)],
+    dtype=np.int32,
+)
+
+
+def fast_response(img, arc: int = 9):
+    """FAST-16 segment-test score — the ORB-family corner measure (role of
+    the reference's ORB option, /root/reference/src/Camera.cpp:114-117).
+
+    TPU formulation: the 16 ring samples are 16 static `jnp.roll`s of the
+    image (cheap lane shifts); the contiguous-arc test is a circular
+    min-window over the 16-axis. score = max over arc starts of
+    min over the `arc` contiguous samples of (p - c) [bright] or (c - p)
+    [dark] — positive iff a full contiguous arc is strictly brighter/darker
+    than the center, with magnitude = the weakest contrast in the best arc.
+    """
+    ring = jnp.stack(
+        [jnp.roll(img, (-int(dv), -int(du)), axis=(0, 1)) for dv, du in _FAST_RING]
+    )  # (16, H, W); ring[i][v,u] = img[v+dv_i, u+du_i]
+    bright = ring - img[None]
+    dark = -bright
+
+    def arc_score(d):
+        # min over `arc` contiguous ring positions, circularly, then max
+        # over the 16 start positions.
+        m = d
+        for s in range(1, arc):
+            m = jnp.minimum(m, jnp.roll(d, -s, axis=0))
+        return jnp.max(m, axis=0)
+
+    return jnp.maximum(arc_score(bright), arc_score(dark))
+
+
+# Detector factory: response-function registry (role of the reference's
+# detector factory switch, /root/reference/src/Camera.cpp:94-138 —
+# KAZE/AKAZE/ORB/SIFT/SURF). Every response plugs into the same
+# NMS + grid-top-k selection, so swapping detectors never changes shapes.
+DETECTOR_RESPONSES = {
+    "shi_tomasi": harris_response,       # min-eigenvalue (GFTT)
+    "harris": harris_cornerness,         # det - k tr^2
+    "dog": dog_response,                 # SIFT/KAZE-family blobs
+    "hessian": hessian_response,         # SURF-family blobs
+    "fast": fast_response,               # ORB-family segment test
+}
 
 
 def _nms(resp, radius: int = 1):
@@ -127,6 +208,7 @@ def detect_keypoints(
     min_score_rel: float = 1e-3,
     border: int = 12,
     levels_used: int = 1,
+    detector: str = "shi_tomasi",
 ) -> Keypoints:
     """Detect fixed-capacity keypoints over `levels_used` pyramid levels.
 
@@ -134,13 +216,14 @@ def detect_keypoints(
     rows; invalid rows (below the relative score floor) are masked out.
     Coordinates are reported in level-0 pixels.
     """
+    response_fn = DETECTOR_RESPONSES[detector]
     all_uv, all_score, all_level, all_angle = [], [], [], []
     for lvl in range(levels_used):
         img = pyramid[lvl]
-        resp = harris_response(img)
-        resp = _nms(resp, nms_radius)
+        full_resp = response_fn(img)
+        resp = _nms(full_resp, nms_radius)
         uv, score = _grid_topk(resp, grid_rows, grid_cols, kp_per_cell, border)
-        uv = _subpixel_refine(harris_response(img), uv)
+        uv = _subpixel_refine(full_resp, uv)
         angle = _orientations(img, uv)
         scale = float(2 ** lvl)
         all_uv.append(uv * scale)

@@ -53,15 +53,20 @@ def extract_features(image, cfg: FrontendConfig = FrontendConfig()) -> Features:
         min_score_rel=cfg.min_score,
         border=cfg.patch_size // 2 + 4,
         levels_used=cfg.levels_used,
+        detector=cfg.detector,
     )
     angle = kps.angle if cfg.oriented else jnp.zeros_like(kps.angle)
+    if cfg.descriptor == "brief":
+        from vislam_tpu.frontend.binary_desc import describe_binary as _describe
+    else:
+        _describe = describe_keypoints
     K_per_level = kps.uv.shape[0] // cfg.levels_used
     descs = []
     for lvl in range(cfg.levels_used):
         sl = slice(lvl * K_per_level, (lvl + 1) * K_per_level)
         scale = float(2 ** lvl)
         descs.append(
-            describe_keypoints(pyr[lvl], kps.uv[sl] / scale, angle[sl])
+            _describe(pyr[lvl], kps.uv[sl] / scale, angle[sl])
         )
     desc = jnp.concatenate(descs, axis=0)
     return Features(

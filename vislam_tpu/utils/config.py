@@ -24,7 +24,11 @@ class FrontendConfig:
     static shapes: top-k per grid cell, masked padding elsewhere.
     """
 
-    # Detection
+    # Detection — response-function family (role of the reference's detector
+    # factory enum, /root/reference/src/Camera.cpp:94-138):
+    #   shi_tomasi (GFTT) | harris | dog (SIFT/KAZE-like blobs) |
+    #   hessian (SURF-like blobs) | fast (ORB-like segment test)
+    detector: str = "shi_tomasi"
     num_levels: int = 4            # pyramid levels (reference builds 5, uses 4)
     levels_used: int = 1           # levels detection+description run on
                                    # (>1 = multi-scale, K multiplies)
@@ -34,9 +38,12 @@ class FrontendConfig:
     nms_radius: int = 2
     harris_k: float = 0.04
     min_score: float = 0.02        # relative corner-score floor (quality level)
-    # Description
+    # Description — family (reference: float SIFT/SURF vs binary ORB/AKAZE
+    # descriptors + BF vs BF-Hamming matcher, src/MatcherGPU.cpp:16-42):
+    #   sift (128-D float histogram) | brief (steered BRIEF-256 binary,
+    #   emitted as +-1 unit vectors so L2 == Hamming ordering on the MXU)
+    descriptor: str = "sift"
     patch_size: int = 16           # descriptor support window (pixels, level-local)
-    desc_dim: int = 128            # SIFT-like 4x4x8
     oriented: bool = False         # rotate descriptors by keypoint orientation;
                                    # upright is more stable for frame-to-frame VIO
                                    # (roll between consecutive frames is tiny)
@@ -60,6 +67,10 @@ class FrontendConfig:
     @property
     def max_keypoints(self) -> int:
         return self.levels_used * self.grid_rows * self.grid_cols * self.kp_per_cell
+
+    @property
+    def desc_dim(self) -> int:
+        return 256 if self.descriptor == "brief" else 128
 
 
 @dataclasses.dataclass(frozen=True)
