@@ -18,8 +18,8 @@ import json
 import numpy as np
 
 
-def run_vio(seq, cfg=None, gt_scale=True, ba=False, photometric=False,
-            vision_rotation=False, loop_correct=False):
+def run_vio(seq, cfg=None, gt_scale=True, ba=False, vi_ba=False,
+            photometric=False, vision_rotation=False, loop_correct=False):
     import dataclasses
 
     import jax.numpy as jnp
@@ -37,6 +37,12 @@ def run_vio(seq, cfg=None, gt_scale=True, ba=False, photometric=False,
             photometric_refine=photometric,
         )
     )
+    if vi_ba:
+        ba = True
+        eng_cfg = dataclasses.replace(
+            eng_cfg,
+            backend=dataclasses.replace(eng_cfg.backend, vi_factors=True),
+        )
     eng = VIOEngine(calib, eng_cfg)
     state = eng.initialize(
         seq["images"][0], q_wb0=seq["gt_quat"][0],
@@ -110,13 +116,18 @@ def main():
         "ate": ate_rmse(r["poses"], r["gt"], align=False), "fps_host_loop": r["fps"],
     }
 
-    # 2. Full visual-inertial, IMU scale (config #2 analog).
+    # 2. Full visual-inertial, IMU scale (config #2 analog) — open-loop and
+    # with in-loop visual-inertial BA (preintegrated-IMU window factors).
     r = run_vio(seq, gt_scale=False)
     el = np.linalg.norm(np.diff(r["poses"], axis=0), axis=1).sum()
     gl = np.linalg.norm(np.diff(r["gt"], axis=0), axis=1).sum()
+    r_vb = run_vio(seq, gt_scale=False, vi_ba=True)
+    el_vb = np.linalg.norm(np.diff(r_vb["poses"], axis=0), axis=1).sum()
     results["2_visual_inertial_imu_scale"] = {
         "ate": ate_rmse(r["poses"], r["gt"], align=False),
         "scale_ratio": float(el / gl),
+        "ate_vi_ba": ate_rmse(r_vb["poses"], r_vb["gt"], align=False),
+        "scale_ratio_vi_ba": float(el_vb / gl),
     }
 
     # 3. Aggressive motion (config #3 analog): report each refinement variant.
@@ -191,7 +202,12 @@ def main():
         r1 = results["1_mono_gt_scale"]
         fh.write(f"| 1 | monocular odometry, GT scale, 80 frames | ATE {r1['ate']:.3f} m |\n")
         r2 = results["2_visual_inertial_imu_scale"]
-        fh.write(f"| 2 | visual-inertial, IMU (GT-free) scale | ATE {r2['ate']:.3f} m, scale ratio {r2['scale_ratio']:.3f} |\n")
+        fh.write(
+            f"| 2 | visual-inertial, IMU (GT-free) scale: open-loop / "
+            f"+VI-BA | ATE {r2['ate']:.3f} m (scale {r2['scale_ratio']:.3f}) "
+            f"/ ATE {r2['ate_vi_ba']:.3f} m (scale "
+            f"{r2['scale_ratio_vi_ba']:.3f}) |\n"
+        )
         r3 = results["3_aggressive"]
         fh.write(
             f"| 3 | aggressive motion: plain / +photometric / +online-BA | "

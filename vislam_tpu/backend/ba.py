@@ -157,13 +157,10 @@ def _inv3x3(M):
     return adj / safe[..., None, None]
 
 
-def schur_solve(Hpp, Hpl, Hll, bp, bl, lam, fix_first: int = 1,
-                axis_name: str | None = None, fixed_mask=None):
-    """Damped Schur-complement solve.
+def reduce_landmarks(Hpp, Hpl, Hll, bp, bl, lam, axis_name: str | None = None):
+    """Eliminate the landmark block: reduced camera system (S, rhs, Hll_inv).
 
-    Returns (dxi (W,6), dX (L,3)). The landmark system is eliminated in
-    closed form; the reduced (6W, 6W) camera system is solved with Cholesky.
-
+    S (W, W, 6, 6) includes the damped Hpp on the diagonal; rhs (W, 6).
     Sharded mode (axis_name set, running under shard_map with landmarks
     sharded over that mesh axis): Hpp/bp/S/rhs are *partial* sums over the
     local landmark shard and are reduced with psum; the tiny reduced camera
@@ -199,6 +196,25 @@ def schur_solve(Hpp, Hpl, Hll, bp, bl, lam, fix_first: int = 1,
     Hpp_d = Hpp + (lam * dpp + 1e-8)[..., None] * eye6[None]
     S = S.at[jnp.arange(W), jnp.arange(W)].add(Hpp_d)
     rhs = bp - rhs_corr
+    return S, rhs, Hll_inv
+
+
+def back_substitute_landmarks(Hpl, Hll_inv, bl, dxi):
+    """dX_l = Hll^-1 (bl - sum_w Hpl^T dxi_w) — local to a landmark shard."""
+    corr = jnp.einsum("wlij,wi->lj", Hpl, dxi, preferred_element_type=jnp.float32)
+    return jnp.einsum("lij,lj->li", Hll_inv, bl - corr,
+                      preferred_element_type=jnp.float32)
+
+
+def schur_solve(Hpp, Hpl, Hll, bp, bl, lam, fix_first: int = 1,
+                axis_name: str | None = None, fixed_mask=None):
+    """Damped Schur-complement solve.
+
+    Returns (dxi (W,6), dX (L,3)). The landmark system is eliminated in
+    closed form; the reduced (6W, 6W) camera system is solved with Cholesky.
+    """
+    W = Hpp.shape[0]
+    S, rhs, Hll_inv = reduce_landmarks(Hpp, Hpl, Hll, bp, bl, lam, axis_name)
 
     Sm = S.transpose(0, 2, 1, 3).reshape(W * 6, W * 6)
     rm = rhs.reshape(W * 6)
@@ -226,9 +242,7 @@ def schur_solve(Hpp, Hpl, Hll, bp, bl, lam, fix_first: int = 1,
     L = jnp.linalg.cholesky(Sm + 1e-8 * jnp.eye(W * 6, dtype=Sm.dtype))
     dxi = jax.scipy.linalg.cho_solve((L, True), rm).reshape(W, 6)
 
-    # Back-substitute landmarks: dX_l = Hll^-1 (bl - sum_w Hpl^T dxi_w).
-    corr = jnp.einsum("wlij,wi->lj", Hpl, dxi, preferred_element_type=jnp.float32)
-    dX = jnp.einsum("lij,lj->li", Hll_inv, bl - corr, preferred_element_type=jnp.float32)
+    dX = back_substitute_landmarks(Hpl, Hll_inv, bl, dxi)
     return dxi, dX
 
 

@@ -47,9 +47,14 @@ def main(argv=None):
     ap.add_argument("--scan", action="store_true",
                     help="offline mode: stage all frames and run the whole "
                          "sequence as one on-device scan (max throughput; "
-                         "no --ba/--loop-correct)")
+                         "--ba fuses the window BA into the scanned step; "
+                         "no --loop-correct)")
     ap.add_argument("--ba", action="store_true",
                     help="run sliding-window bundle adjustment on each keyframe")
+    ap.add_argument("--vi-ba", action="store_true",
+                    help="add preintegrated-IMU factors to the window BA "
+                         "(visual-inertial BA: scale/gravity/velocity become "
+                         "observable; auto-enabled for --ba --imu-scale)")
     ap.add_argument("--loop-correct", action="store_true",
                     help="offline loop-closure detection + pose-graph "
                          "correction after the run")
@@ -67,18 +72,28 @@ def main(argv=None):
                          "(rotation invariance; upright is default for VIO)")
     args = ap.parse_args(argv)
 
+    # Visual-inertial BA whenever requested, and by default when BA runs in
+    # the GT-free (IMU-scale) mode — that's exactly when scale needs the
+    # IMU factors.
+    use_vi_ba = args.vi_ba or (args.ba and not args.gt_scale)
+    args.ba = args.ba or args.vi_ba  # --vi-ba alone implies window BA
+
     def _with_frontend(cfg_):
-        """Apply detector/descriptor CLI choices to a SystemConfig."""
+        """Apply detector/descriptor/VI-BA CLI choices to a SystemConfig."""
         import dataclasses as _d
 
-        if (args.detector, args.descriptor, args.oriented) == (
+        if (args.detector, args.descriptor, args.oriented) != (
             "shi_tomasi", "sift", False
         ):
-            return cfg_
-        return _d.replace(cfg_, frontend=_d.replace(
-            cfg_.frontend, detector=args.detector,
-            descriptor=args.descriptor, oriented=args.oriented,
-        ))
+            cfg_ = _d.replace(cfg_, frontend=_d.replace(
+                cfg_.frontend, detector=args.detector,
+                descriptor=args.descriptor, oriented=args.oriented,
+            ))
+        if use_vi_ba:
+            cfg_ = _d.replace(
+                cfg_, backend=_d.replace(cfg_.backend, vi_factors=True)
+            )
+        return cfg_
 
     if args.cpu:
         import jax
@@ -155,7 +170,8 @@ def main(argv=None):
                 if args.ba:
                     with timer.stage("engine.refine"):
                         state = refine_window(
-                            state, eng.cfg, calib.fx, calib.fy, calib.cx, calib.cy
+                            state, eng.cfg, calib.fx, calib.fy,
+                            calib.cx, calib.cy, R_bc=eng.R_bc,
                         )
                 archive_keyframe(state, j)
             est_positions.append(np.asarray(res.p_wc))
@@ -212,6 +228,13 @@ def main(argv=None):
         if args.photometric:
             cfg = dataclasses.replace(
                 cfg, engine=dataclasses.replace(cfg.engine, photometric_refine=True)
+            )
+        if args.ba and args.scan:
+            # Scan mode has no host loop to call refine_window from — fuse
+            # the windowed BA into the step itself (lax.cond on keyframes).
+            cfg = dataclasses.replace(
+                cfg, backend=dataclasses.replace(cfg.backend,
+                                                 refine_in_step=True)
             )
         # Real cameras are distorted: precompute the rectify maps once and
         # remap every frame on device (reference CameraModel::Undistort,
@@ -304,7 +327,8 @@ def main(argv=None):
                 if args.ba:
                     with timer.stage("engine.refine"):
                         state = refine_window(
-                            state, eng.cfg, calib.fx, calib.fy, calib.cx, calib.cy
+                            state, eng.cfg, calib.fx, calib.fy,
+                            calib.cx, calib.cy, R_bc=eng.R_bc,
                         )
                 archive_keyframe(state, fw.index)
             est_positions.append(np.asarray(res.p_wc))

@@ -189,6 +189,15 @@ class VIOEngine:
             # The epipolar translation spans keyframe -> current frame, so
             # the IMU scale must too: accumulate displacement since the kf.
             dp_since_kf = state.kf_dp_imu + dp_step
+
+            # Compose this frame's preintegration onto the accumulated
+            # keyframe->current factor (standard preintegration chaining,
+            # frame-of-last-keyframe body coords): feeds the VI-BA's
+            # inter-keyframe IMU factors on promotion.
+            pre_dp_acc = (state.kf_pre_dp + state.kf_pre_dv * T
+                          + state.kf_pre_dR @ pre.dp)
+            pre_dv_acc = state.kf_pre_dv + state.kf_pre_dR @ pre.dv
+            pre_dR_acc = lie.orthonormalize(state.kf_pre_dR @ pre.dR)
             imu_t_norm = jnp.linalg.norm(dp_since_kf)
             scale = jnp.where(gt_t_norm >= 0.0, gt_t_norm, imu_t_norm)
             t_ji = t_dir * scale  # frame-j coords: X_j = R_ji X_i + t_ji
@@ -284,10 +293,24 @@ class VIOEngine:
                 R_cw=roll_if_full(win.R_cw),
                 t_cw=roll_if_full(win.t_cw),
                 valid=roll_if_full(win.valid),
+                v_w=roll_if_full(win.v_w),
+                imu_dR=roll_if_full(win.imu_dR),
+                imu_dv=roll_if_full(win.imu_dv),
+                imu_dp=roll_if_full(win.imu_dp),
+                imu_dt=roll_if_full(win.imu_dt),
+                # Slot 0's stored factor points at the keyframe just
+                # evicted — it is meaningless after a roll.
+                imu_valid=roll_if_full(win.imu_valid).at[0].set(
+                    jnp.where(full, False, win.imu_valid[0])
+                ),
             )
             slot = jnp.minimum(win.count, Wn - 1)
             R_cw_new = R_wc_j.T
             t_cw_new = -R_wc_j.T @ p_wc_j
+            # The promoted keyframe's IMU factor = preintegration accumulated
+            # since the previous keyframe (valid only if the interval really
+            # integrated IMU data — vision-only datasets keep dt at 0).
+            t_since_kf_now = state.kf_time + T
             updated = rolled._replace(
                 uv=rolled.uv.at[slot].set(feat.uv),
                 desc=rolled.desc.at[slot].set(feat.desc),
@@ -296,6 +319,13 @@ class VIOEngine:
                 t_cw=rolled.t_cw.at[slot].set(t_cw_new),
                 valid=rolled.valid.at[slot].set(True),
                 count=jnp.minimum(win.count + 1, Wn),
+                imu_dR=rolled.imu_dR.at[slot].set(pre_dR_acc),
+                imu_dv=rolled.imu_dv.at[slot].set(pre_dv_acc),
+                imu_dp=rolled.imu_dp.at[slot].set(pre_dp_acc),
+                imu_dt=rolled.imu_dt.at[slot].set(t_since_kf_now),
+                imu_valid=rolled.imu_valid.at[slot].set(
+                    (pre.dt > 1e-6) & (slot > 0)
+                ),
             )
             new_window = jax.tree.map(sel, updated, win)
 
@@ -328,6 +358,12 @@ class VIOEngine:
                     lie.mat_to_quat(lie.orthonormalize(R_wc_j @ R_bc.T)),
                     q_wb,
                 )
+            # Keyframe velocity lands in the window only on promotion.
+            new_window = new_window._replace(
+                v_w=jnp.where(
+                    is_kf, new_window.v_w.at[slot].set(v_new), new_window.v_w
+                )
+            )
             new_state = EngineState(
                 q_wb=q_wb,
                 v_w=v_new,
@@ -344,12 +380,30 @@ class VIOEngine:
                 kf_count=state.kf_count + is_kf.astype(jnp.int32),
                 kf_time=jnp.where(is_kf, 0.0, t_since_kf),
                 kf_dp_imu=jnp.where(is_kf, jnp.zeros(3), dp_since_kf),
+                kf_pre_dR=jnp.where(is_kf, jnp.eye(3, dtype=jnp.float32),
+                                    pre_dR_acc),
+                kf_pre_dv=jnp.where(is_kf, jnp.zeros(3), pre_dv_acc),
+                kf_pre_dp=jnp.where(is_kf, jnp.zeros(3), pre_dp_acc),
             )
+            if be.refine_in_step:
+                # In-step windowed (V)I-BA: the refine program joins this
+                # step's XLA graph behind a cond, executing only on keyframe
+                # promotion. This is what lets the offline scan runner do
+                # full SLAM (including BA) as one device program.
+                from vislam_tpu.engine.refine import refine_window
+
+                new_state = jax.lax.cond(
+                    is_kf,
+                    lambda s: refine_window(s, cfg, fx, fy, cx, cy, R_bc=R_bc),
+                    lambda s: s,
+                    new_state,
+                )
+
             result = FrameResult(
-                p_wc=p_wc_j,
-                R_wc=R_wc_j,
+                p_wc=new_state.p_wc if be.refine_in_step else p_wc_j,
+                R_wc=new_state.R_wc if be.refine_in_step else R_wc_j,
                 q_wb=q_wb,
-                v_w=v_new,
+                v_w=new_state.v_w if be.refine_in_step else v_new,
                 is_keyframe=is_kf,
                 num_matches=num_matches,
                 num_inliers=est_inliers,

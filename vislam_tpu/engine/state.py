@@ -28,6 +28,17 @@ class KeyframeWindow(NamedTuple):
     t_cw: jnp.ndarray     # (W, 3)
     valid: jnp.ndarray    # (W,) bool
     count: jnp.ndarray    # () int32 number of valid keyframes
+    # Visual-inertial window extension: per-keyframe velocity estimate and
+    # the IMU preintegration from the PREVIOUS window keyframe to this one
+    # (slot w holds the factor (w-1) -> w; slot 0 / post-roll slot 0 carry
+    # imu_valid=False). Feeds the preintegrated-IMU factors of the
+    # visual-inertial BA (backend/vi_ba.py).
+    v_w: jnp.ndarray       # (W, 3) world-frame velocity at each keyframe
+    imu_dR: jnp.ndarray    # (W, 3, 3) preintegrated rotation (body i -> j)
+    imu_dv: jnp.ndarray    # (W, 3) preintegrated velocity (frame-i body)
+    imu_dp: jnp.ndarray    # (W, 3) preintegrated position (frame-i body)
+    imu_dt: jnp.ndarray    # (W,) integration time
+    imu_valid: jnp.ndarray  # (W,) bool factor validity
 
 
 class EngineState(NamedTuple):
@@ -50,6 +61,12 @@ class EngineState(NamedTuple):
     kf_count: jnp.ndarray    # () int32
     kf_time: jnp.ndarray     # () f32 seconds since the last keyframe
     kf_dp_imu: jnp.ndarray   # (3,) IMU-predicted world displacement since kf
+    # Body-frame preintegration accumulated since the last keyframe (frame-i
+    # body coords, i = last keyframe); becomes the window IMU factor on
+    # keyframe promotion.
+    kf_pre_dR: jnp.ndarray   # (3, 3)
+    kf_pre_dv: jnp.ndarray   # (3,)
+    kf_pre_dp: jnp.ndarray   # (3,)
 
 
 def init_window(W: int, K: int, D: int) -> KeyframeWindow:
@@ -61,6 +78,12 @@ def init_window(W: int, K: int, D: int) -> KeyframeWindow:
         t_cw=jnp.zeros((W, 3), jnp.float32),
         valid=jnp.zeros((W,), bool),
         count=jnp.zeros((), jnp.int32),
+        v_w=jnp.zeros((W, 3), jnp.float32),
+        imu_dR=jnp.tile(jnp.eye(3, dtype=jnp.float32), (W, 1, 1)),
+        imu_dv=jnp.zeros((W, 3), jnp.float32),
+        imu_dp=jnp.zeros((W, 3), jnp.float32),
+        imu_dt=jnp.zeros((W,), jnp.float32),
+        imu_valid=jnp.zeros((W,), bool),
     )
 
 
@@ -93,6 +116,7 @@ def init_state(
         t_cw=win.t_cw.at[0].set(t_cw0),
         valid=win.valid.at[0].set(True),
         count=jnp.asarray(1, jnp.int32),
+        v_w=win.v_w.at[0].set(jnp.asarray(v_w0, jnp.float32)),
     )
     z3 = jnp.zeros(3, jnp.float32)
     return EngineState(
@@ -111,4 +135,7 @@ def init_state(
         kf_count=jnp.asarray(1, jnp.int32),
         kf_time=jnp.zeros((), jnp.float32),
         kf_dp_imu=jnp.zeros(3, jnp.float32),
+        kf_pre_dR=jnp.eye(3, dtype=jnp.float32),
+        kf_pre_dv=jnp.zeros(3, jnp.float32),
+        kf_pre_dp=jnp.zeros(3, jnp.float32),
     )

@@ -42,16 +42,20 @@ def load_checkpoint(path: str):
 
 
 def _template_from_leaves(leaves):
-    """EngineState structure template (shapes come from the stored leaves)."""
+    """EngineState structure template (shapes come from the stored leaves).
+
+    Built programmatically from each NamedTuple's _fields so the template
+    can never fall out of sync when EngineState/KeyframeWindow grow fields.
+    """
     import jax.numpy as jnp
 
-    z = [jnp.zeros(1)] * len(leaves)
-    # Build a structurally-identical EngineState; leaf values are irrelevant.
-    feat = Features(uv=z[0], desc=z[0], score=z[0], level=z[0], angle=z[0], mask=z[0])
-    win = KeyframeWindow(uv=z[0], desc=z[0], kp_mask=z[0], R_cw=z[0], t_cw=z[0],
-                         valid=z[0], count=z[0])
-    return EngineState(
-        q_wb=z[0], v_w=z[0], bias_g=z[0], bias_a=z[0], R_wc=z[0], p_wc=z[0],
-        kf_R_wc=z[0], kf_p_wc=z[0], kf_feat=feat, kf_image=z[0], window=win,
-        frame_idx=z[0], kf_count=z[0], kf_time=z[0], kf_dp_imu=z[0],
-    )
+    z = jnp.zeros(1)
+
+    def fill(cls, nested=None):
+        nested = nested or {}
+        return cls(**{f: nested.get(f, z) for f in cls._fields})
+
+    return fill(EngineState, {
+        "kf_feat": fill(Features),
+        "window": fill(KeyframeWindow),
+    })

@@ -97,7 +97,31 @@ class BackendConfig:
     #   "ends"    — fix oldest + newest; interior poses refine, the live
     #               anchor never moves (no feedback; safe default).
     online_gauge: str = "ends"
+    # Visual-inertial BA: add preintegrated-IMU factors (backend/vi_ba.py)
+    # between consecutive window keyframes. Makes monocular scale,
+    # roll/pitch, and per-keyframe velocities observable — the GT-free
+    # upgrade over the reference's setGtRes scale injection. Gauge becomes
+    # oldest-pose-only (scale needs no second fixed pose).
+    vi_factors: bool = False
+    # Fuse the windowed (visual-inertial) BA INTO the jitted engine step,
+    # behind a lax.cond on keyframe promotion: the whole SLAM system —
+    # frontend, inertial, pose solve, and window refinement — becomes ONE
+    # on-device program, so the offline scan runner gets in-loop BA too
+    # (the host-loop CLI instead calls engine.refine.refine_window between
+    # steps, same math).
+    refine_in_step: bool = False
+    vi_w_rot: float = 1e4          # IMU factor precisions (1/dt-scaled)
+    vi_w_vel: float = 1e2
+    vi_w_pos: float = 1e2
+    max_anchor_vel: float = 0.5    # m/s velocity-anchor correction cap
     huber_delta: float = 2.0       # pixels (robust loss; reference had Tukey, disabled)
+    # Pre-BA outlier gates (0 disables): max reprojection residual of an
+    # observation at the initial window geometry, and max triangulation
+    # closest-approach gap relative to depth. Kills appearance-matching
+    # outliers before they reach the (robust but not outlier-proof) LM.
+    reproj_gate: float = 8.0       # pixels (floor of the adaptive gate)
+    reproj_gate_mad: float = 3.0   # gate = max(floor, mad * median residual)
+    tri_gap_rel: float = 0.05      # gap / depth (floor, same adaptive rule)
     min_depth: float = 0.05
     max_depth: float = 200.0
 
