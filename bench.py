@@ -30,7 +30,7 @@ def _enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
-def _make_frames(n_frames: int = 24):
+def _make_frames(n_frames: int = 96):
     from vislam_tpu.data.synthetic import SyntheticConfig, make_synthetic_sequence
 
     seq = make_synthetic_sequence(
@@ -39,13 +39,28 @@ def _make_frames(n_frames: int = 24):
     return seq
 
 
-def bench_tpu_scan(seq, reps: int = 5) -> float:
-    """Offline throughput: whole sequence as one on-device lax.scan."""
+def bench_tpu_scan(seq, reps: int = 5, slam: bool = False) -> float:
+    """Offline throughput: whole sequence as one on-device lax.scan.
+
+    slam=True fuses the visual-inertial window BA into the scanned step
+    (cfg.backend.refine_in_step + vi_factors): the full-SLAM offline mode.
+    """
     import jax
 
     from vislam_tpu.engine import VIOEngine, make_sequence_inputs, run_sequence_scan
 
-    eng = VIOEngine(seq["calib"])
+    cfg_kw = {}
+    if slam:
+        import dataclasses
+
+        from vislam_tpu.utils.config import SystemConfig
+
+        c = SystemConfig()
+        cfg_kw["cfg"] = dataclasses.replace(
+            c, backend=dataclasses.replace(c.backend, vi_factors=True,
+                                           refine_in_step=True)
+        )
+    eng = VIOEngine(seq["calib"], **cfg_kw)
     state0 = eng.initialize(
         seq["images"][0], q_wb0=seq["gt_quat"][0],
         v_w0=seq["gt_vel"][0], p_w0=seq["gt_pos"][0],
@@ -54,13 +69,18 @@ def bench_tpu_scan(seq, reps: int = 5) -> float:
     n = int(inputs.images.shape[0])
     final, results = run_sequence_scan(eng, state0, inputs,
                                        kf_gt_pos0=seq["gt_pos"][0])
-    jax.block_until_ready(results.p_wc)
-    t0 = time.perf_counter()
-    for _ in range(reps):
+    jax.block_until_ready(results)
+    # Per-rep timing + median: dispatch over the axon tunnel is noisy and
+    # occasionally pathological (measured: same cached program 1 ms vs 3 s
+    # in different runs); the median reflects steady-state throughput.
+    times = []
+    for _ in range(max(reps, 7)):
+        t0 = time.perf_counter()
         final, results = run_sequence_scan(eng, state0, inputs,
                                            kf_gt_pos0=seq["gt_pos"][0])
-        jax.block_until_ready(results.p_wc)
-    return reps * n / (time.perf_counter() - t0)
+        jax.block_until_ready(results)
+        times.append(time.perf_counter() - t0)
+    return n / float(np.median(times))
 
 
 def bench_tpu(seq, n_steps: int = 60) -> float:
@@ -88,14 +108,17 @@ def bench_tpu(seq, n_steps: int = 60) -> float:
     s, r = eng._step(state, images[0], imu_j, dt_j, gt, key)
     jax.block_until_ready(r.p_wc)
 
-    t0 = time.perf_counter()
-    s = state
-    for i in range(n_steps):
-        img = images[i % len(images)]
-        s, r = eng._step(s, img, imu_j, dt_j, gt, key)
-    jax.block_until_ready(r.p_wc)
-    wall = time.perf_counter() - t0
-    return n_steps / wall
+    # Median over chunks (tunnel dispatch latency is noisy).
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        s = state
+        for i in range(n_steps):
+            img = images[i % len(images)]
+            s, r = eng._step(s, img, imu_j, dt_j, gt, key)
+        jax.block_until_ready(r.p_wc)
+        times.append(time.perf_counter() - t0)
+    return n_steps / float(np.median(times))
 
 
 def bench_reference_cpu(seq, n_steps: int = 12) -> float:
@@ -120,23 +143,24 @@ def bench_reference_cpu(seq, n_steps: int = 12) -> float:
     # Warm caches.
     det.detectAndCompute(imgs[0], None)
 
-    t0 = time.perf_counter()
+    def ratio_ok(pairs):
+        out = {}
+        for p in pairs:
+            if len(p) == 2 and p[0].distance < 0.8 * p[1].distance:
+                out[p[0].queryIdx] = p[0].trainIdx
+        return out
+
+    # Per-frame timing, median (host contention resistance; favors the
+    # baseline, which keeps vs_baseline honest).
+    per_frame = []
     prev_kp, prev_desc = None, None
-    done = 0
     for i in range(n_steps + 1):
         img = imgs[i % len(imgs)]
+        t0 = time.perf_counter()
         kp, desc = det.detectAndCompute(img, None)
         if prev_desc is not None and desc is not None and len(desc) > 8:
             m_ab = bf.knnMatch(prev_desc, desc, k=2)
             m_ba = bf.knnMatch(desc, prev_desc, k=2)
-
-            def ratio_ok(pairs):
-                out = {}
-                for p in pairs:
-                    if len(p) == 2 and p[0].distance < 0.8 * p[1].distance:
-                        out[p[0].queryIdx] = p[0].trainIdx
-                return out
-
             fwd = ratio_ok(m_ab)
             bwd = ratio_ok(m_ba)
             sym = [(q, t) for q, t in fwd.items() if bwd.get(t) == q]
@@ -145,16 +169,16 @@ def bench_reference_cpu(seq, n_steps: int = 12) -> float:
                 p2 = np.float32([kp[t].pt for _, t in sym])
                 cv2.findEssentialMat(p1, p2, K, method=cv2.RANSAC,
                                      prob=0.999, threshold=1.0)
-            done += 1
+            per_frame.append(time.perf_counter() - t0)
         prev_kp, prev_desc = kp, desc
-    wall = time.perf_counter() - t0
-    return done / wall
+    return 1.0 / float(np.median(per_frame))
 
 
 def main():
     _enable_compile_cache()
     seq = _make_frames()
     fps_scan = bench_tpu_scan(seq)
+    fps_slam = bench_tpu_scan(seq, slam=True)
     fps_stream = bench_tpu(seq)
     base = bench_reference_cpu(seq)
     print(
@@ -165,6 +189,7 @@ def main():
                 "unit": "frames/s",
                 "vs_baseline": round(fps_scan / base, 3),
                 "streaming_fps": round(fps_stream, 2),
+                "slam_scan_fps": round(fps_slam, 2),
                 "baseline_cpu_fps": round(base, 2),
             }
         )
