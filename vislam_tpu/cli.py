@@ -64,6 +64,12 @@ def main(argv=None):
                     choices=["shi_tomasi", "harris", "dog", "hessian", "fast"],
                     help="corner/blob response family (role of the reference "
                          "detector factory: SIFT~dog, SURF~hessian, ORB~fast)")
+    ap.add_argument("--scale-space", default="gaussian",
+                    choices=["gaussian", "nonlinear"],
+                    help="pyramid type: gaussian (SIFT/SURF/ORB family) or "
+                         "nonlinear Perona-Malik FED diffusion (KAZE/AKAZE "
+                         "family; e.g. --scale-space nonlinear --detector "
+                         "hessian = KAZE analog)")
     ap.add_argument("--descriptor", default="sift", choices=["sift", "brief"],
                     help="float SIFT-128 or binary steered-BRIEF-256 "
                          "(Hamming-equivalent MXU matching)")
@@ -82,12 +88,12 @@ def main(argv=None):
         """Apply detector/descriptor/VI-BA CLI choices to a SystemConfig."""
         import dataclasses as _d
 
-        if (args.detector, args.descriptor, args.oriented) != (
-            "shi_tomasi", "sift", False
-        ):
+        if (args.detector, args.descriptor, args.oriented,
+                args.scale_space) != ("shi_tomasi", "sift", False, "gaussian"):
             cfg_ = _d.replace(cfg_, frontend=_d.replace(
                 cfg_.frontend, detector=args.detector,
                 descriptor=args.descriptor, oriented=args.oriented,
+                scale_space=args.scale_space,
             ))
         if use_vi_ba:
             cfg_ = _d.replace(

@@ -43,7 +43,12 @@ def extract_features(image, cfg: FrontendConfig = FrontendConfig()) -> Features:
     the role of the reference's multi-scale SURF/KAZE detectors); uv is
     always reported in level-0 pixels.
     """
-    pyr = build_pyramid(image, cfg.num_levels)
+    if cfg.scale_space == "nonlinear":
+        from vislam_tpu.frontend.nonlinear import nonlinear_scale_space
+
+        pyr = nonlinear_scale_space(image, cfg.num_levels)
+    else:
+        pyr = build_pyramid(image, cfg.num_levels)
     kps = detect_keypoints(
         pyr,
         grid_rows=cfg.grid_rows,

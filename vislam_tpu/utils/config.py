@@ -29,6 +29,13 @@ class FrontendConfig:
     #   shi_tomasi (GFTT) | harris | dog (SIFT/KAZE-like blobs) |
     #   hessian (SURF-like blobs) | fast (ORB-like segment test)
     detector: str = "shi_tomasi"
+    # Scale space the pyramid levels come from:
+    #   gaussian  — 2x2-mean pyramid (SIFT/SURF/ORB-family)
+    #   nonlinear — Perona-Malik FED diffusion octaves (KAZE/AKAZE-family;
+    #               edge-preserving; pair with detector="hessian" for the
+    #               KAZE analog, detector="fast" + descriptor="brief" for
+    #               the AKAZE analog)
+    scale_space: str = "gaussian"
     num_levels: int = 4            # pyramid levels (reference builds 5, uses 4)
     levels_used: int = 1           # levels detection+description run on
                                    # (>1 = multi-scale, K multiplies)
