@@ -65,3 +65,40 @@ def test_cli_euroc_fixture(tmp_path):
     assert np.isfinite(data["est_p"]).all()
     # GT columns present (fixture has ground truth).
     assert np.isfinite(data["gt_p"]).all()
+
+
+def test_cli_checkpoint_resume(tmp_path):
+    """A run checkpointed mid-way and resumed must reproduce the uninterrupted
+    run exactly (same synthetic seed; the trajectory is an analytic function
+    of time, so prefixes are stable across different --synthetic lengths)."""
+    ck = str(tmp_path / "state.npz")
+    out_full = str(tmp_path / "full.csv")
+    out_a = str(tmp_path / "part_a.csv")
+    out_b = str(tmp_path / "part_b.csv")
+
+    r = _run_cli(["--synthetic", "40", "--output", out_full])
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    # First half, checkpointing at every keyframe + at end.
+    r = _run_cli(["--synthetic", "24", "--output", out_a, "--checkpoint", ck])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(ck)
+
+    # Resume to the full length.
+    r = _run_cli(["--synthetic", "40", "--output", out_b,
+                  "--checkpoint", ck, "--resume"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "resumed from" in r.stdout
+
+    full = read_trajectory_csv(out_full)
+    part = read_trajectory_csv(out_b)
+    # The resumed run covers frames 24..39 = the tail of the full run.
+    n = part["est_p"].shape[0]
+    assert n == 40 - 24
+    np.testing.assert_allclose(part["est_p"], full["est_p"][-n:], atol=1e-4)
+
+
+def test_cli_resume_requires_checkpoint(tmp_path):
+    r = _run_cli(["--synthetic", "10", "--resume",
+                  "--output", str(tmp_path / "t.csv")])
+    assert r.returncode != 0

@@ -50,7 +50,13 @@ def test_refine_reduces_reprojection_cost(run):
 
 def test_refine_recovers_corrupted_pose(run):
     """The 'oldest2' gauge refines the newest pose: a corrupted anchor pose
-    must be pulled back by the window's observations."""
+    must be pulled back by the window's observations.
+
+    The invariant: BA converges to (nearly) the same optimum whether or not
+    the anchor was corrupted — the corruption must not survive. The optimum
+    itself may legitimately differ from the VO value by the window's internal
+    drift, so recovery is measured against the uncorrupted refinement, with a
+    sanity bound against the VO value."""
     import dataclasses
 
     seq, eng, state = run
@@ -62,17 +68,24 @@ def test_refine_recovers_corrupted_pose(run):
     W = state.window.uv.shape[0]
     slot = int(np.clip(int(state.window.count) - 1, 0, W - 1))
 
-    # Corrupt the newest keyframe's pose by 15 cm.
+    # Corrupt the newest keyframe's pose by ~20 cm.
     t_cw = np.asarray(state.window.t_cw).copy()
     t_true = t_cw[slot].copy()
     t_cw[slot] += np.array([0.15, -0.1, 0.08], np.float32)
     bad = state._replace(window=state.window._replace(t_cw=jnp.asarray(t_cw)))
 
     refined = refine_window(bad, cfg, calib.fx, calib.fy, calib.cx, calib.cy)
+    baseline = refine_window(state, cfg, calib.fx, calib.fy, calib.cx, calib.cy)
     t_ref = np.asarray(refined.window.t_cw)[slot]
+    t_opt = np.asarray(baseline.window.t_cw)[slot]
     err_before = np.linalg.norm(t_cw[slot] - t_true)
     err_after = np.linalg.norm(t_ref - t_true)
-    assert err_after < 0.5 * err_before, (err_before, err_after)
+    # The corruption is gone: corrupted-refined ~= uncorrupted-refined.
+    assert np.linalg.norm(t_ref - t_opt) < 0.1 * err_before, (
+        err_before, np.linalg.norm(t_ref - t_opt)
+    )
+    # And the refined pose is closer to the VO value than the corruption was.
+    assert err_after < err_before, (err_before, err_after)
 
 
 def test_ends_gauge_leaves_anchor_untouched(run):

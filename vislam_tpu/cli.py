@@ -76,7 +76,18 @@ def main(argv=None):
     ap.add_argument("--oriented", action="store_true",
                     help="rotate descriptors by keypoint orientation "
                          "(rotation invariance; upright is default for VIO)")
+    ap.add_argument("--checkpoint", default=None,
+                    help="engine-state checkpoint path (.npz): the full state "
+                         "pytree is saved on every keyframe and at run end "
+                         "(the reference has no checkpointing, SURVEY.md §5)")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from --checkpoint at the stored frame index "
+                         "(exact: deterministic dataset indexing + state "
+                         "pytree restore)")
     args = ap.parse_args(argv)
+
+    if args.resume and not args.checkpoint:
+        ap.error("--resume requires --checkpoint")
 
     # Visual-inertial BA whenever requested, and by default when BA runs in
     # the GT-free (IMU-scale) mode — that's exactly when scale needs the
@@ -121,6 +132,31 @@ def main(argv=None):
     gt_positions = []
     kf_archive = []
 
+    def save_ckpt(state, frame_index, last_kf, last_kf_pos=None):
+        if not args.checkpoint:
+            return
+        from vislam_tpu.utils.checkpoint import save_checkpoint
+
+        with timer.stage("checkpoint.save"):
+            save_checkpoint(
+                args.checkpoint, state, frame_index,
+                meta={
+                    "last_kf": int(last_kf),
+                    "last_kf_pos": None if last_kf_pos is None
+                    else [float(x) for x in np.asarray(last_kf_pos)],
+                },
+            )
+
+    def load_ckpt():
+        from vislam_tpu.utils.checkpoint import (
+            load_checkpoint, load_checkpoint_meta,
+        )
+
+        state, fidx = load_checkpoint(args.checkpoint)
+        meta = load_checkpoint_meta(args.checkpoint)
+        print(f"resumed from {args.checkpoint} at frame {fidx}")
+        return state, fidx, meta
+
     def archive_keyframe(state, frame_index):
         if not args.loop_correct:
             return
@@ -156,8 +192,14 @@ def main(argv=None):
             v_w0=seq["gt_vel"][0], p_w0=seq["gt_pos"][0],
         )
         last_kf = 0
+        start_j = 1
+        if args.resume:
+            state, fidx, _meta = load_ckpt()
+            start_j = fidx + 1
+            last_kf = int(_meta.get("last_kf", fidx))
+            eng.set_step_counter(fidx)  # replay the exact per-step keys
         t0 = time.perf_counter()
-        for j in range(1, args.synthetic):
+        for j in range(start_j, args.synthetic):
             lo, hi = (j - 1) * 10, j * 10
             imu = np.zeros((16, 6), np.float32)
             imu[:10] = np.concatenate(
@@ -180,6 +222,7 @@ def main(argv=None):
                             calib.cx, calib.cy, R_bc=eng.R_bc,
                         )
                 archive_keyframe(state, j)
+                save_ckpt(state, j, last_kf)
             est_positions.append(np.asarray(res.p_wc))
             gt_positions.append(seq["gt_pos"][j])
             rows.append(dict(
@@ -191,6 +234,7 @@ def main(argv=None):
                 gt_q=seq["gt_quat"][j], gt_v=seq["gt_vel"][j],
             ))
         wall = time.perf_counter() - t0
+        save_ckpt(state, args.synthetic - 1, last_kf)
     elif args.dataset:
         from vislam_tpu.data import (
             EurocDataset, KittiDataset, TumDataset, PrefetchLoader,
@@ -315,8 +359,15 @@ def main(argv=None):
             frames_done = None
 
         last_kf_pos = gt_p0
+        loop_start = start + 1
+        if args.resume and not args.scan:
+            state, fidx, _meta = load_ckpt()
+            loop_start = fidx + 1
+            if _meta.get("last_kf_pos") is not None:
+                last_kf_pos = np.asarray(_meta["last_kf_pos"], np.float64)
+            eng.set_step_counter(fidx - start)  # exact key-sequence replay
         t0 = time.perf_counter()
-        for fw in (PrefetchLoader(ds, start=start + 1, end=end)
+        for fw in (PrefetchLoader(ds, start=loop_start, end=end)
                    if not args.scan else []):
             gt_norm = -1.0
             if args.gt_scale and fw.gt_pos is not None:
@@ -337,6 +388,7 @@ def main(argv=None):
                             calib.cx, calib.cy, R_bc=eng.R_bc,
                         )
                 archive_keyframe(state, fw.index)
+                save_ckpt(state, fw.index, fw.index, last_kf_pos=last_kf_pos)
             est_positions.append(np.asarray(res.p_wc))
             if fw.gt_pos is not None:
                 gt_positions.append(fw.gt_pos)

@@ -127,8 +127,13 @@ def make_synthetic_sequence(
     # Accelerometer: specific force in body frame, gravity pointing -z world.
     g_w = np.array([0.0, 0.0, -cfg.gravity])
     accel = np.einsum("nji,nj->ni", R_wb_i, acc_i - g_w)
-    gyro = gyro + np.asarray(cfg.gyro_bias) + cfg.gyro_noise * rng.standard_normal(gyro.shape)
-    accel = accel + np.asarray(cfg.accel_bias) + cfg.accel_noise * rng.standard_normal(accel.shape)
+    # IMU noise comes from a dedicated child generator: its draw count depends
+    # on n_frames, and consuming it from the main stream would shift every
+    # later draw — sequences would not be prefix-stable across lengths
+    # (checkpoint/resume tests rely on prefix stability).
+    rng_imu = np.random.default_rng(int(rng.integers(2 ** 62)))
+    gyro = gyro + np.asarray(cfg.gyro_bias) + cfg.gyro_noise * rng_imu.standard_normal(gyro.shape)
+    accel = accel + np.asarray(cfg.accel_bias) + cfg.accel_noise * rng_imu.standard_normal(accel.shape)
 
     # --- Render images: each landmark gets a fixed random texture patch,
     # splatted with bilinear sub-pixel placement. Unique texture per landmark

@@ -59,7 +59,12 @@ class VIOEngine:
                  seed: int = 0):
         self.calib = calib
         self.cfg = cfg
-        self._key = jax.random.PRNGKey(seed)
+        # Per-step keys are fold_in(base, step_counter): deterministic in the
+        # frame index (matching the scan runner) so checkpoint/resume replays
+        # the exact key sequence. The counter mirrors state.frame_idx and is
+        # restored on resume (set_step_counter).
+        self._base_key = jax.random.PRNGKey(seed)
+        self._step_counter = 0
         # Camera->body rotation from the calibration extrinsic. Kept as
         # NUMPY: closed-over values must embed as HLO literals — closed-over
         # jax DeviceArrays become captured buffers that the axon TPU runtime
@@ -414,10 +419,15 @@ class VIOEngine:
 
         return step
 
+    def set_step_counter(self, n: int) -> None:
+        """Restore the per-step key counter (= state.frame_idx) on resume."""
+        self._step_counter = int(n)
+
     def step(self, state: EngineState, image, imu, imu_dt,
              gt_t_norm: float = -1.0):
         """Process one frame. gt_t_norm < 0 selects IMU (VI) scale."""
-        self._key, sub = jax.random.split(self._key)
+        sub = jax.random.fold_in(self._base_key, self._step_counter)
+        self._step_counter += 1
         return self._step(
             state,
             jnp.asarray(image, jnp.float32),

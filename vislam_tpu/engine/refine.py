@@ -221,9 +221,21 @@ def refine_window(state: EngineState, cfg: SystemConfig,
             fixed_mask=fixed,
         )
     else:
-        fixed = (W_idx < 2)
         if be.online_gauge == "ends":
-            fixed = fixed | (W_idx == anchor_slot)
+            fixed = (W_idx < 2) | (W_idx == anchor_slot)
+        else:
+            # 'oldest2' (anchor-refining) gauge: fixing slots {0, 1} is
+            # ill-conditioned when they are consecutive frames — the
+            # monocular scale is pinned by the distance between the two
+            # fixed poses, and a near-zero baseline lets the window scale
+            # swing freely (measured: BA optimum 0.42 m from a good VO
+            # anchor). Pin slot 0 plus the widest-baseline keyframe
+            # (excluding the anchor, which must stay free to refine).
+            p_w_all = -jnp.einsum("kji,kj->ki", win.R_cw, win.t_cw)
+            d0 = jnp.linalg.norm(p_w_all - p_w_all[0], axis=-1)
+            cand = win.valid & (W_idx != 0) & (W_idx != anchor_slot)
+            far = jnp.argmax(jnp.where(cand, d0, -1.0))
+            fixed = (W_idx == 0) | (W_idx == far)
         refined, info = bundle_adjust(
             ba_state, prob, iters=be.lm_iters, lam0=be.lm_lambda0,
             huber_delta=be.huber_delta, fixed_mask=fixed,

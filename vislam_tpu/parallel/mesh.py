@@ -32,7 +32,16 @@ def make_mesh(
     """
     devs = jax.devices()
     n = len(devs) if n_devices is None else n_devices
+    if len(devs) < n:
+        # Default backend too small (e.g. the one real TPU chip): fall back
+        # to the host CPU backend, which honors
+        # xla_force_host_platform_device_count for virtual n-device meshes.
+        devs = jax.devices("cpu")
     devs = devs[:n]
+    if len(devs) < n:
+        raise ValueError(
+            f"requested {n}-device mesh but only {len(devs)} devices exist"
+        )
     if shape is None:
         shape = (n,) if len(axis_names) == 1 else None
     if shape is None:

@@ -23,10 +23,21 @@ def save_checkpoint(path: str, state: EngineState, frame_index: int,
     leaves, treedef = jax.tree.flatten(state)
     arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
     arrays["__frame_index"] = np.asarray(frame_index)
-    np.savez_compressed(path, **arrays)
+    # Uncompressed: the state is a few MB and per-keyframe saves sit on the
+    # streaming path (compression measured 191 ms/save vs ~10 ms raw).
+    np.savez(path, **arrays)
     if meta:
         with open(path + ".meta.json", "w") as f:
             json.dump(meta, f)
+
+
+def load_checkpoint_meta(path: str) -> dict:
+    """Sidecar metadata written by save_checkpoint (empty dict if absent)."""
+    meta_path = path + ".meta.json"
+    if not os.path.exists(meta_path):
+        return {}
+    with open(meta_path) as f:
+        return json.load(f)
 
 
 def load_checkpoint(path: str):
