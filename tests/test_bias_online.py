@@ -1,0 +1,299 @@
+"""Online IMU-bias estimation: Jacobian chaining, first-order correction,
+window-BA bias recovery, and the engine's rolling gyro recalibration.
+
+Capability upgrade over the reference's in-run gyro recalibration
+(/root/reference/src/Imu.cpp:423-428) and its unused accel-bias machinery
+(:125-274): here biases are estimated continuously — by the VI window BA
+through the preintegration bias Jacobians, and by a stillness-gated EMA
+inside the engine step.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.spatial.transform import Rotation as Rsp
+
+from vislam_tpu.inertial.preintegration import (
+    Preintegrated,
+    bias_correct,
+    compose,
+    preintegrate,
+)
+
+G = 9.81
+G_W = np.array([0.0, 0.0, -G], np.float32)
+
+
+def _imu_sequence(rng, n=40, dt=0.01):
+    """Smooth synthetic body rates/accels (no gravity handling needed:
+    preintegration is gravity-free in the body frame)."""
+    t = np.arange(n) * dt
+    gyro = np.stack([
+        0.4 * np.sin(1.7 * t), 0.3 * np.cos(2.3 * t), 0.2 * np.sin(0.9 * t),
+    ], -1).astype(np.float32)
+    accel = np.stack([
+        0.8 * np.cos(1.1 * t), 0.5 * np.sin(1.9 * t), 9.6 + 0.3 * np.sin(t),
+    ], -1).astype(np.float32)
+    dts = np.full(n, dt, np.float32)
+    return jnp.asarray(gyro), jnp.asarray(accel), jnp.asarray(dts)
+
+
+def test_compose_matches_full_integration(rng):
+    gyro, accel, dts = _imu_sequence(rng)
+    full = preintegrate(gyro, accel, dts)
+    half = 20
+    a = preintegrate(gyro[:half], accel[:half], dts[:half])
+    b = preintegrate(gyro[half:], accel[half:], dts[half:])
+    comp = compose(a, b)
+    for name in ("dR", "dv", "dp", "dt", "J_dR_bg", "J_dv_bg", "J_dv_ba",
+                 "J_dp_bg", "J_dp_ba"):
+        f = np.asarray(getattr(full, name))
+        c = np.asarray(getattr(comp, name))
+        assert np.abs(f - c).max() < 1e-4, (name, np.abs(f - c).max())
+
+
+def test_bias_correct_first_order(rng):
+    gyro, accel, dts = _imu_sequence(rng)
+    b0g = jnp.asarray([0.02, -0.01, 0.015])
+    b0a = jnp.asarray([0.1, -0.05, 0.08])
+    dbg = jnp.asarray([0.004, -0.003, 0.002])
+    dba = jnp.asarray([0.02, 0.015, -0.01])
+
+    at_b0 = preintegrate(gyro, accel, dts, bias_gyro=b0g, bias_accel=b0a)
+    corrected = bias_correct(at_b0, dbg, dba)
+    exact = preintegrate(gyro, accel, dts, bias_gyro=b0g + dbg,
+                         bias_accel=b0a + dba)
+    # First-order correction: error is O(|δb|^2), far below the correction
+    # itself (which is O(|δb| * dt_total)).
+    assert np.abs(np.asarray(corrected.dR - exact.dR)).max() < 5e-6
+    assert np.abs(np.asarray(corrected.dv - exact.dv)).max() < 5e-5
+    assert np.abs(np.asarray(corrected.dp - exact.dp)).max() < 5e-5
+    # And the correction is genuinely nonzero.
+    assert np.abs(np.asarray(corrected.dv - at_b0.dv)).max() > 1e-4
+
+
+def _vi_window_with_bias_error(rng, bias_err_g, bias_err_a, W=8, dt=0.4,
+                               L=64):
+    """GT trajectory + per-interval raw IMU integrated at a WRONG bias.
+
+    Returns everything vi_bundle_adjust needs, with factors carrying real
+    Jacobians and bg_ref/ba_ref = the wrong bias used at integration time.
+    The true bias is zero, so the estimator should move the window bias by
+    approximately -bias_err from its prior center.
+    """
+    from vislam_tpu.backend.ba import BAProblem, BAState
+    from vislam_tpu.backend.vi_ba import ImuFactors
+
+    FX = FY = 400.0
+    CX, CY = 320.0, 240.0
+    n_sub = 40
+    sdt = dt / n_sub
+    ts = np.arange(W * n_sub + 1) * sdt
+    # Smooth position + yaw trajectories (analytic derivatives).
+    p = np.stack([0.9 * ts, 0.3 * np.sin(0.8 * ts), 0.1 * ts], -1)
+    v = np.stack([0.9 * np.ones_like(ts), 0.3 * 0.8 * np.cos(0.8 * ts),
+                  0.1 * np.ones_like(ts)], -1)
+    a_w = np.stack([np.zeros_like(ts), -0.3 * 0.64 * np.sin(0.8 * ts),
+                    np.zeros_like(ts)], -1)
+    yaw = 0.12 * ts
+    R_wb = Rsp.from_euler("z", yaw[:, None]).as_matrix()
+    w_body = np.stack([np.zeros_like(ts), np.zeros_like(ts),
+                       0.12 * np.ones_like(ts)], -1)
+    # Perfect IMU at zero bias: gyro = body rate, accel = R^T (a_w - g_w).
+    accel_body = np.einsum("nji,nj->ni", R_wb, a_w - G_W)
+
+    kf = np.arange(0, W * n_sub + 1, n_sub)[:W]
+    facs = {k: [] for k in ("dR", "dv", "dp", "dt", "J_R_bg", "J_v_bg",
+                            "J_v_ba", "J_p_bg", "J_p_ba")}
+    for w in range(W - 1):
+        s, e = kf[w], kf[w + 1]
+        pre = preintegrate(
+            jnp.asarray(w_body[s:e], jnp.float32),
+            jnp.asarray(accel_body[s:e], jnp.float32),
+            jnp.asarray(np.full(n_sub, sdt, np.float32)),
+            bias_gyro=jnp.asarray(bias_err_g, jnp.float32),
+            bias_accel=jnp.asarray(bias_err_a, jnp.float32),
+        )
+        facs["dR"].append(pre.dR); facs["dv"].append(pre.dv)
+        facs["dp"].append(pre.dp); facs["dt"].append(pre.dt)
+        facs["J_R_bg"].append(pre.J_dR_bg); facs["J_v_bg"].append(pre.J_dv_bg)
+        facs["J_v_ba"].append(pre.J_dv_ba); facs["J_p_bg"].append(pre.J_dp_bg)
+        facs["J_p_ba"].append(pre.J_dp_ba)
+
+    def pad33(xs):
+        return jnp.stack([jnp.zeros((3, 3))] + xs).astype(jnp.float32)
+
+    def pad3(xs):
+        return jnp.stack([jnp.zeros(3)] + xs).astype(jnp.float32)
+
+    fac = ImuFactors(
+        dR=jnp.stack([jnp.eye(3)] + facs["dR"]).astype(jnp.float32),
+        dv=pad3(facs["dv"]), dp=pad3(facs["dp"]),
+        dt=jnp.concatenate([jnp.zeros(1), jnp.stack(facs["dt"])]).astype(
+            jnp.float32),
+        valid=jnp.asarray([False] + [True] * (W - 1)),
+        J_R_bg=pad33(facs["J_R_bg"]), J_v_bg=pad33(facs["J_v_bg"]),
+        J_v_ba=pad33(facs["J_v_ba"]), J_p_bg=pad33(facs["J_p_bg"]),
+        J_p_ba=pad33(facs["J_p_ba"]),
+        bg_ref=jnp.tile(jnp.asarray(bias_err_g, jnp.float32), (W, 1)),
+        ba_ref=jnp.tile(jnp.asarray(bias_err_a, jnp.float32), (W, 1)),
+    )
+
+    Rk = R_wb[kf]
+    pk = p[kf]
+    vk = v[kf]
+    R_cw = np.transpose(Rk, (0, 2, 1))
+    t_cw = -np.einsum("wij,wj->wi", R_cw, pk)
+    X = np.stack([rng.uniform(-2, 6, L), rng.uniform(-2, 2, L),
+                  rng.uniform(4, 10, L)], -1)
+    Xc = np.einsum("wij,lj->wli", R_cw, X) + t_cw[:, None, :]
+    u = FX * Xc[..., 0] / Xc[..., 2] + CX
+    vv = FY * Xc[..., 1] / Xc[..., 2] + CY
+    obs = np.stack([u, vv], -1).astype(np.float32)
+    mask = (Xc[..., 2] > 0.5) & (u > 0) & (u < 640) & (vv > 0) & (vv < 480)
+    prob = BAProblem(obs_uv=jnp.asarray(obs), obs_mask=jnp.asarray(mask),
+                     fx=FX, fy=FY, cx=CX, cy=CY)
+    state = BAState(R=jnp.asarray(R_cw, jnp.float32),
+                    t=jnp.asarray(t_cw, jnp.float32),
+                    X=jnp.asarray(X, jnp.float32))
+    return state, prob, jnp.asarray(vk, jnp.float32), fac
+
+
+def test_vi_ba_recovers_gyro_and_accel_bias(rng):
+    from vislam_tpu.backend.vi_ba import vi_bundle_adjust
+
+    bias_err_g = np.array([0.015, -0.02, 0.01], np.float32)
+    bias_err_a = np.array([0.15, 0.1, -0.12], np.float32)
+    state, prob, v, fac = _vi_window_with_bias_error(
+        rng, bias_err_g, bias_err_a)
+
+    (ref, v_ref, bg, ba), info = vi_bundle_adjust(
+        state, prob, v, fac, jnp.asarray(G_W), jnp.eye(3),
+        iters=20, bg0=jnp.asarray(bias_err_g), ba0=jnp.asarray(bias_err_a),
+        w_bg_prior=1e3, w_ba_prior=1e2,
+    )
+    bg = np.asarray(bg)
+    ba = np.asarray(ba)
+    # True bias is 0; the window entered believing bias_err. The estimator
+    # must remove most of the gyro error and a solid share of the (more
+    # weakly observed) accel error in ONE window.
+    assert np.linalg.norm(bg) < 0.35 * np.linalg.norm(bias_err_g), bg
+    assert np.linalg.norm(ba) < 0.75 * np.linalg.norm(bias_err_a), ba
+    assert float(info["final_cost"]) < float(info["initial_cost"])
+
+
+def test_online_bias_estimation_tracks_drift_and_cuts_ate():
+    """End-to-end GT-free VI run with a slowly DRIFTING gyro/accel bias:
+    the VI-BA bias estimator (estimate_bias=True) must (a) track the drift
+    — final bias_g closer to the true end-of-run bias than the frozen
+    initial calibration — and (b) improve ATE over the frozen-bias run.
+
+    This is the dominant real-IMU error source the reference only handles
+    with its first-2.5 s gyro recalibration
+    (/root/reference/src/Imu.cpp:423-428)."""
+    import dataclasses
+
+    from vislam_tpu.data import SyntheticConfig, make_synthetic_sequence
+    from vislam_tpu.engine import VIOEngine
+    from vislam_tpu.engine.refine import refine_window
+    from vislam_tpu.eval import ate_rmse
+    from vislam_tpu.utils.config import SystemConfig
+    import jax.numpy as jnp
+
+    # Drift strong enough to DOMINATE the error budget over the 4 s run
+    # (slow drift on this short oracle is absorbed by Madgwick's gravity
+    # alignment and is below the vision noise floor; real runs are minutes,
+    # where even slow drift dominates).
+    bias0_g = np.array([0.010, -0.008, 0.006], np.float32)
+    drift_g = np.array([0.020, 0.015, -0.012], np.float32)   # rad/s per s
+    bias0_a = np.array([0.05, -0.04, 0.03], np.float32)
+    drift_a = np.array([0.05, 0.04, -0.03], np.float32)
+    seq = make_synthetic_sequence(SyntheticConfig(
+        n_frames=80, n_landmarks=300, seed=0,
+        gyro_bias=tuple(bias0_g), gyro_bias_drift=tuple(drift_g),
+        accel_bias=tuple(bias0_a), accel_bias_drift=tuple(drift_a),
+    ))
+    calib = seq["calib"]
+    t_end = 79 / 20.0
+    true_bias_end = bias0_g + drift_g * t_end
+
+    def run(estimate):
+        cfg = SystemConfig()
+        cfg = dataclasses.replace(cfg, backend=dataclasses.replace(
+            cfg.backend, vi_factors=True, estimate_bias=estimate))
+        eng = VIOEngine(calib, cfg)
+        state = eng.initialize(
+            seq["images"][0], q_wb0=seq["gt_quat"][0],
+            v_w0=seq["gt_vel"][0], p_w0=seq["gt_pos"][0],
+        )
+        # Initial calibration knows the STARTING bias exactly (as a static-
+        # prefix calibration would); only the drift is unknown.
+        state = state._replace(bias_g=jnp.asarray(bias0_g),
+                               bias_a=jnp.asarray(bias0_a))
+        poses = []
+        for j in range(1, len(seq["images"])):
+            lo, hi = (j - 1) * 10, j * 10
+            imu = np.zeros((16, 6), np.float32)
+            imu[:10] = np.concatenate(
+                [seq["imu_gyro"][lo:hi], seq["imu_accel"][lo:hi]], -1)
+            dt = np.zeros(16, np.float32)
+            dt[:10] = 1 / 200.0
+            state, res = eng.step(state, seq["images"][j], imu, dt, -1.0)
+            if bool(res.is_keyframe):
+                state = refine_window(state, eng.cfg, calib.fx, calib.fy,
+                                      calib.cx, calib.cy)
+            poses.append(np.asarray(state.p_wc))
+        ate = ate_rmse(np.array(poses), seq["gt_pos"][1:], align=False)
+        return ate, np.asarray(state.bias_g)
+
+    ate_frozen, bg_frozen = run(estimate=False)
+    ate_est, bg_est = run(estimate=True)
+    # (a) the estimator tracked the drift.
+    err_frozen = np.linalg.norm(bg_frozen - true_bias_end)
+    err_est = np.linalg.norm(bg_est - true_bias_end)
+    assert err_est < 0.45 * err_frozen, (bg_est, bg_frozen, true_bias_end)
+    # (b) and that translated into trajectory accuracy.
+    assert ate_est < ate_frozen, (ate_est, ate_frozen)
+
+
+def test_engine_rolling_gyro_recalib():
+    """Static frames with a gyro-bias step: the engine's stillness-gated EMA
+    must track the new bias; moving frames must leave it untouched."""
+    from vislam_tpu.calib.camera_model import CameraCalib
+    from vislam_tpu.engine.engine import VIOEngine
+    from vislam_tpu.utils.config import SystemConfig
+    import dataclasses
+
+    H, W = 64, 128
+    calib = CameraCalib(fx=100.0, fy=100.0, cx=W / 2, cy=H / 2,
+                        dist=(0.0, 0.0, 0.0, 0.0), width=W, height=H)
+    cfg = SystemConfig(image_height=H, image_width=W)
+    assert cfg.engine.gyro_recalib
+    eng = VIOEngine(calib, cfg)
+    rng = np.random.default_rng(1)
+    img = rng.uniform(0, 1, (H, W)).astype(np.float32)
+    state = eng.initialize(img)
+
+    true_bias = np.array([0.008, -0.006, 0.004], np.float32)
+    n_imu = cfg.engine.imu_window
+    imu_dt = np.full(n_imu, 0.005, np.float32)
+    # Static: gyro = bias (+tiny noise), accel = gravity along +z body.
+    for _ in range(30):
+        imu = np.concatenate([
+            true_bias + rng.normal(0, 5e-4, (n_imu, 3)).astype(np.float32),
+            np.tile(np.array([0, 0, 9.81], np.float32), (n_imu, 1))
+            + rng.normal(0, 5e-3, (n_imu, 3)).astype(np.float32),
+        ], -1)
+        state, _ = eng.step(state, img, imu, imu_dt, gt_t_norm=0.0)
+    bg = np.asarray(state.bias_g)
+    assert np.linalg.norm(bg - true_bias) < 0.002, bg
+
+    # Fast rotation: recalibration must NOT absorb real motion.
+    bg_before = bg.copy()
+    for _ in range(10):
+        imu = np.concatenate([
+            np.tile(np.array([0.0, 0.0, 0.5], np.float32), (n_imu, 1)),
+            np.tile(np.array([0, 0, 9.81], np.float32), (n_imu, 1)),
+        ], -1)
+        state, _ = eng.step(state, img, imu, imu_dt, gt_t_norm=0.0)
+    assert np.linalg.norm(np.asarray(state.bias_g) - bg_before) < 1e-6

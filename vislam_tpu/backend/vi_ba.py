@@ -56,6 +56,12 @@ class ImuFactors(NamedTuple):
     """Preintegrated factors between consecutive window keyframes.
 
     Slot w holds the factor (w-1) -> w; slot 0 must carry valid=False.
+
+    The optional bias-Jacobian fields (Forster eq. 69-71, chained by the
+    engine across the inter-keyframe interval) plus the per-factor bias
+    linearization points enable ONLINE bias estimation: vi_bundle_adjust
+    adds one shared (δbg, δba) to the window state and corrects every
+    factor to first order without re-integrating raw IMU.
     """
 
     dR: jnp.ndarray      # (W, 3, 3) body rotation i->j
@@ -63,13 +69,51 @@ class ImuFactors(NamedTuple):
     dp: jnp.ndarray      # (W, 3) position delta, frame-i body coords
     dt: jnp.ndarray      # (W,)
     valid: jnp.ndarray   # (W,) bool
+    J_R_bg: jnp.ndarray = None   # (W, 3, 3)
+    J_v_bg: jnp.ndarray = None   # (W, 3, 3)
+    J_v_ba: jnp.ndarray = None   # (W, 3, 3)
+    J_p_bg: jnp.ndarray = None   # (W, 3, 3)
+    J_p_ba: jnp.ndarray = None   # (W, 3, 3)
+    bg_ref: jnp.ndarray = None   # (W, 3) gyro bias each factor integrated at
+    ba_ref: jnp.ndarray = None   # (W, 3)
+
+    @property
+    def has_bias_jacobians(self) -> bool:
+        return self.J_R_bg is not None
 
 
-def imu_residuals(R_cw, t_cw, v, fac: ImuFactors, g_w, R_bc):
+def corrected_factors(fac: ImuFactors, bg, ba):
+    """First-order bias correction of every factor to candidate bias (bg, ba).
+
+    Returns (dR', dv', dp'): dR' = dR Exp(J_R_bg δbg), dv' = dv + J δb,
+    dp' = dp + J δb, with per-factor δb = (bg, ba) - (bg_ref, ba_ref)
+    (Forster et al. eq. 44).
+    """
+    from vislam_tpu.lie.so3 import so3_exp
+
+    dbg = bg[None] - fac.bg_ref              # (W, 3)
+    dba = ba[None] - fac.ba_ref
+    rot = jax.vmap(so3_exp)(jnp.einsum("wij,wj->wi", fac.J_R_bg, dbg))
+    dR = jnp.einsum("wij,wjk->wik", fac.dR, rot)
+    dv = fac.dv + jnp.einsum("wij,wj->wi", fac.J_v_bg, dbg) \
+        + jnp.einsum("wij,wj->wi", fac.J_v_ba, dba)
+    dp = fac.dp + jnp.einsum("wij,wj->wi", fac.J_p_bg, dbg) \
+        + jnp.einsum("wij,wj->wi", fac.J_p_ba, dba)
+    return dR, dv, dp
+
+
+def imu_residuals(R_cw, t_cw, v, fac: ImuFactors, g_w, R_bc,
+                  bg=None, ba=None):
     """(W, 9) stacked [r_R, r_v, r_p] per factor (row w: keyframes w-1 -> w).
 
     Invalid rows are NOT masked here — the caller weights them to zero.
+    With bg/ba given (and bias Jacobians present), factors are first
+    bias-corrected to that candidate bias.
     """
+    if bg is not None and fac.has_bias_jacobians:
+        fdR, fdv, fdp = corrected_factors(fac, bg, ba)
+    else:
+        fdR, fdv, fdp = fac.dR, fac.dv, fac.dp
     R_wb = jnp.einsum("wji,kj->wik", R_cw, R_bc)  # R_cw^T @ R_bc^T (W,3,3)
     p = -jnp.einsum("wji,wj->wi", R_cw, t_cw)     # camera/body position
     Ri = R_wb[:-1]
@@ -78,11 +122,11 @@ def imu_residuals(R_cw, t_cw, v, fac: ImuFactors, g_w, R_bc):
     dv_w = v[1:] - v[:-1] - g_w[None] * dt
     dp_w = p[1:] - p[:-1] - v[:-1] * dt - 0.5 * g_w[None] * dt * dt
 
-    E = jnp.einsum("wji,wjk->wik", fac.dR[1:], jnp.einsum(
+    E = jnp.einsum("wji,wjk->wik", fdR[1:], jnp.einsum(
         "wji,wjk->wik", Ri, Rj))                  # dR^T Ri^T Rj
     r_R = jax.vmap(so3_log)(E)
-    r_v = jnp.einsum("wji,wj->wi", Ri, dv_w) - fac.dv[1:]
-    r_p = jnp.einsum("wji,wj->wi", Ri, dp_w) - fac.dp[1:]
+    r_v = jnp.einsum("wji,wj->wi", Ri, dv_w) - fdv[1:]
+    r_p = jnp.einsum("wji,wj->wi", Ri, dp_w) - fdp[1:]
     r = jnp.concatenate([r_R, r_v, r_p], axis=-1)  # (W-1, 9)
     return jnp.concatenate([jnp.zeros((1, 9), r.dtype), r], axis=0)
 
@@ -106,8 +150,9 @@ def _imu_weights(fac: ImuFactors, w_rot, w_vel, w_pos):
     return w
 
 
-def imu_cost(R_cw, t_cw, v, fac, g_w, R_bc, w_rot, w_vel, w_pos):
-    r = imu_residuals(R_cw, t_cw, v, fac, g_w, R_bc)
+def imu_cost(R_cw, t_cw, v, fac, g_w, R_bc, w_rot, w_vel, w_pos,
+             bg=None, ba=None):
+    r = imu_residuals(R_cw, t_cw, v, fac, g_w, R_bc, bg=bg, ba=ba)
     w = _imu_weights(fac, w_rot, w_vel, w_pos)
     return 0.5 * jnp.sum(w * r * r)
 
@@ -175,7 +220,119 @@ def solve_vi_system(S, rhs, H_imu, b_imu, lam, fixed_mask):
     return d[:, :6], d[:, 6:]
 
 
-@partial(jax.jit, static_argnames=("iters",))
+def _imu_normal_equations_bias(R_cw, t_cw, v, fac, g_w, R_bc,
+                               w_rot, w_vel, w_pos,
+                               bg, ba, bg0, ba0, w_bg_prior, w_ba_prior):
+    """GN blocks over the (9W + 6) perturbation [poses+vels | δbg δba].
+
+    (bg, ba): current bias estimate (linearization point of this iteration);
+    (bg0, ba0): prior center (the engine's bias entering the window), pulled
+    by the prior precisions. Residual vector = [IMU residuals (9W); prior
+    residuals (6)]. Returns (H (N,N), b (N,)) with N = 9W + 6.
+    """
+    W = R_cw.shape[0]
+    N = W * 9 + 6
+    w = _imu_weights(fac, w_rot, w_vel, w_pos)      # (W, 9)
+    wf = jnp.concatenate([
+        w.reshape(-1),
+        jnp.full((3,), w_bg_prior, jnp.float32),
+        jnp.full((3,), w_ba_prior, jnp.float32),
+    ])
+
+    def r_of(theta):
+        delta = theta[: W * 9].reshape(W, 9)
+        db = theta[W * 9:]
+        dRm, dtm = se3_exp(delta[:, :6])
+        R_new = jnp.einsum("wij,wjk->wik", dRm, R_cw,
+                           preferred_element_type=jnp.float32)
+        t_new = jnp.einsum("wij,wj->wi", dRm, t_cw,
+                           preferred_element_type=jnp.float32) + dtm
+        bg_c = bg + db[:3]
+        ba_c = ba + db[3:]
+        r_imu = imu_residuals(R_new, t_new, v + delta[:, 6:], fac, g_w, R_bc,
+                              bg=bg_c, ba=ba_c)
+        r_prior = jnp.concatenate([bg_c - bg0, ba_c - ba0])
+        return jnp.concatenate([r_imu.reshape(-1), r_prior])
+
+    zero = jnp.zeros((N,), jnp.float32)
+    r0 = r_of(zero)
+    J = jax.jacfwd(r_of)(zero)                      # (9W+6, N)
+    H = (J * wf[:, None]).T @ J
+    b = -(J * wf[:, None]).T @ r0
+    return H, b
+
+
+def prior_residual(R0_cw, t0_cw, v0, lin_R, lin_t, lin_v):
+    """(9,) residual of window slot 0 against its marginalization prior:
+    [se3_log(T0 ∘ T_lin^-1) | v0 - v_lin], left-multiplicative convention
+    matching ba._apply_update (J wrt the slot-0 perturbation ≈ I)."""
+    from vislam_tpu.lie.se3 import se3_log
+
+    dR = R0_cw @ lin_R.T
+    dt = t0_cw - dR @ lin_t
+    xi = se3_log((dR, dt))
+    return jnp.concatenate([xi, v0 - lin_v])
+
+
+def marginal_info_slot1(H_imu, prior_H, lam):
+    """Schur-eliminate window slot 0 from (slot-0 prior + IMU factor 0->1)
+    onto slot 1: the (9,9) information the evicted keyframe bequeaths.
+
+    Deliberately EXCLUDES vision information: in this framework landmarks
+    are re-triangulated fresh every window, so an eviction does not destroy
+    vision info (the surviving keyframes still carry it) — folding the
+    window's full vision system into the prior double-counts it
+    catastrophically (measured: the prior saturates any cap and locks the
+    window to stale linearization points). What eviction genuinely severs
+    is the odometry CHAIN: the absolute pose/yaw/scale anchor propagated
+    keyframe-to-keyframe through the prior + inter-keyframe IMU factors.
+    """
+    A = H_imu[: 2 * 9, : 2 * 9].reshape(2, 9, 2, 9)
+    A = A.at[0, :, 0, :].add(prior_H)
+    H00 = A[0, :, 0, :] + (lam + 1e-6) * jnp.eye(9)
+    H01 = A[0, :, 1, :]
+    H11 = A[1, :, 1, :]
+    sol = jnp.linalg.solve(H00, H01)
+    return H11 - H01.T @ sol
+
+
+def solve_vi_system_bias(S, rhs, H_imu, b_imu, lam, fixed_mask):
+    """Solve the (9W + 6) camera+velocity+bias system.
+
+    Same structure as solve_vi_system with a trailing shared-bias block
+    (always free; regularized by the prior already inside H_imu plus LM
+    damping).
+    """
+    W = S.shape[0]
+    N = W * 9 + 6
+    A = H_imu
+    Sblk = jnp.zeros((W, 9, W, 9), S.dtype)
+    Sblk = Sblk.at[:, :6, :, :6].set(S.transpose(0, 2, 1, 3))
+    A = A.at[: W * 9, : W * 9].add(Sblk.reshape(W * 9, W * 9))
+    b = b_imu.at[: W * 9].add(
+        jnp.concatenate([rhs, jnp.zeros((W, 3), rhs.dtype)], -1).reshape(-1)
+    )
+
+    didx = jnp.arange(N)
+    is_vel = (didx < W * 9) & ((didx % 9) >= 6)
+    is_bias = didx >= W * 9
+    A = A.at[didx, didx].add(
+        jnp.where(is_vel | is_bias, lam + 1e-4, 0.0))
+
+    free = jnp.concatenate([jnp.repeat(~fixed_mask, 9),
+                            jnp.ones((6,), bool)])
+    free = free | is_vel
+    A = jnp.where(free[:, None] & free[None, :], A, 0.0)
+    A = A.at[didx, didx].add(jnp.where(free, 0.0, 1.0))
+    b = jnp.where(free, b, 0.0)
+
+    L = jnp.linalg.cholesky(A + 1e-8 * jnp.eye(N, dtype=A.dtype))
+    d = jax.scipy.linalg.cho_solve((L, True), b)
+    dp = d[: W * 9].reshape(W, 9)
+    return dp[:, :6], dp[:, 6:], d[W * 9:]
+
+
+@partial(jax.jit, static_argnames=("iters", "compute_marginal"))
 def vi_bundle_adjust(
     state: BAState,
     prob: BAProblem,
@@ -190,53 +347,127 @@ def vi_bundle_adjust(
     w_vel: float = 1e2,
     w_pos: float = 1e2,
     fixed_mask=None,
+    bg0=None,
+    ba0=None,
+    w_bg_prior: float = 1e3,
+    w_ba_prior: float = 1e3,
+    prior_H=None,
+    prior_lin=None,
+    compute_marginal: bool = False,
 ):
-    """LM loop over poses, velocities, and landmarks with IMU factors.
+    """LM loop over poses, velocities, landmarks — and, when the factors
+    carry bias Jacobians and (bg0, ba0) are given, a shared window bias.
 
     fixed_mask (W,) bool: gauge-fixed poses (default: pose 0 only — with
     IMU factors the scale and gravity direction are observable, so the
     monocular second-pose fix of the vision-only BA is unnecessary).
-    Returns ((BAState, v), info).
+
+    Returns ((BAState, v), info) — or ((BAState, v, bg, ba), info) in the
+    bias-estimating mode (decided at trace time).
+
+    prior_H (9,9) + prior_lin (R_cw, t_cw, v) add a marginalization prior
+    factor on window slot 0 (information bequeathed by evicted keyframes —
+    the replacement for hard gauge pinning). compute_marginal additionally
+    returns info["marg_H"]/info["marg_lin"]: the (9,9) information slot 0
+    would bequeath to slot 1 if evicted now (Schur complement at the final
+    estimate), for the caller to install as the NEXT prior on eviction.
     """
     W = state.R.shape[0]
     if fixed_mask is None:
         fixed_mask = jnp.arange(W) == 0
+    est_bias = fac.has_bias_jacobians and bg0 is not None
+    if est_bias:
+        bg0 = jnp.asarray(bg0, jnp.float32)
+        ba0 = jnp.asarray(ba0, jnp.float32)
+    use_prior = prior_H is not None
 
-    def total_cost(st, vv):
-        return robust_cost(st, prob, huber_delta) + imu_cost(
-            st.R, st.t, vv, fac, g_w, R_bc, w_rot, w_vel, w_pos
-        )
+    def total_cost(st, vv, bias):
+        c = robust_cost(st, prob, huber_delta)
+        if est_bias:
+            bg, ba = bias[:3], bias[3:]
+            c = c + imu_cost(st.R, st.t, vv, fac, g_w, R_bc,
+                             w_rot, w_vel, w_pos, bg=bg, ba=ba)
+            c = c + 0.5 * (w_bg_prior * jnp.sum((bg - bg0) ** 2)
+                           + w_ba_prior * jnp.sum((ba - ba0) ** 2))
+        else:
+            c = c + imu_cost(st.R, st.t, vv, fac, g_w, R_bc,
+                             w_rot, w_vel, w_pos)
+        if use_prior:
+            r0 = prior_residual(st.R[0], st.t[0], vv[0], *prior_lin)
+            c = c + 0.5 * r0 @ (prior_H @ r0)
+        return c
 
     def step(carry, _):
-        st, vv, lam, cost = carry
+        st, vv, bias, lam, cost = carry
         Hpp, Hpl, Hll, bp, bl, _ = build_normal_equations(st, prob, huber_delta)
         S, rhs, Hll_inv = reduce_landmarks(Hpp, Hpl, Hll, bp, bl, lam)
-        H_imu, b_imu = _imu_normal_equations(
-            st.R, st.t, vv, fac, g_w, R_bc, w_rot, w_vel, w_pos
-        )
-        dxi, dv = solve_vi_system(S, rhs, H_imu, b_imu, lam, fixed_mask)
+        if est_bias:
+            H_imu, b_imu = _imu_normal_equations_bias(
+                st.R, st.t, vv, fac, g_w, R_bc, w_rot, w_vel, w_pos,
+                bias[:3], bias[3:], bg0, ba0, w_bg_prior, w_ba_prior,
+            )
+            if use_prior:
+                r0 = prior_residual(st.R[0], st.t[0], vv[0], *prior_lin)
+                H_imu = H_imu.at[:9, :9].add(prior_H)
+                b_imu = b_imu.at[:9].add(-prior_H @ r0)
+            dxi, dv, db = solve_vi_system_bias(
+                S, rhs, H_imu, b_imu, lam, fixed_mask)
+        else:
+            H_imu, b_imu = _imu_normal_equations(
+                st.R, st.t, vv, fac, g_w, R_bc, w_rot, w_vel, w_pos
+            )
+            if use_prior:
+                r0 = prior_residual(st.R[0], st.t[0], vv[0], *prior_lin)
+                H_imu = H_imu.at[0, :, 0, :].add(prior_H)
+                b_imu = b_imu.at[0].add(-prior_H @ r0)
+            dxi, dv = solve_vi_system(S, rhs, H_imu, b_imu, lam, fixed_mask)
+            db = jnp.zeros((6,), jnp.float32)
         dX = back_substitute_landmarks(Hpl, Hll_inv, bl, dxi)
         cand = _apply_update(st, dxi, dX)
         cand_v = vv + dv
-        cand_cost = total_cost(cand, cand_v)
+        cand_bias = bias + db
+        cand_cost = total_cost(cand, cand_v, cand_bias)
         finite = (
             jnp.isfinite(cand_cost)
             & jnp.all(jnp.isfinite(dxi))
             & jnp.all(jnp.isfinite(dv))
+            & jnp.all(jnp.isfinite(db))
             & jnp.all(jnp.isfinite(dX))
         )
         accept = finite & (cand_cost < cost)
         new_st = jax.tree.map(lambda a, b: jnp.where(accept, a, b), cand, st)
         new_v = jnp.where(accept, cand_v, vv)
+        new_bias = jnp.where(accept, cand_bias, bias)
         new_lam = jnp.where(accept, jnp.maximum(lam * 0.3, 1e-8), lam * 4.0)
         new_cost = jnp.where(accept, cand_cost, cost)
-        return (new_st, new_v, new_lam, new_cost), new_cost
+        return (new_st, new_v, new_bias, new_lam, new_cost), new_cost
 
-    cost0 = total_cost(state, v)
-    (state, v, lam, cost), costs = jax.lax.scan(
-        step, (state, v, jnp.asarray(lam0, jnp.float32), cost0), None,
+    bias0 = (jnp.concatenate([bg0, ba0]) if est_bias
+             else jnp.zeros((6,), jnp.float32))
+    cost0 = total_cost(state, v, bias0)
+    (state, v, bias, lam, cost), costs = jax.lax.scan(
+        step, (state, v, bias0, jnp.asarray(lam0, jnp.float32), cost0), None,
         length=iters,
     )
     info = {"costs": costs, "final_cost": cost, "initial_cost": cost0,
             "lam": lam}
+    if compute_marginal:
+        # Information slot 0 bequeaths to slot 1 on eviction: Schur
+        # complement of (slot-0 prior + IMU chain) over the {0,1} blocks.
+        # Bootstrap: before the first eviction there is no prior — slot 0
+        # is the hard-fixed gauge, whose equivalent information is a strong
+        # identity prior (the initial pose is known by definition).
+        Hi_f, _ = _imu_normal_equations(
+            state.R, state.t, v, fac, g_w, R_bc, w_rot, w_vel, w_pos)
+        pH = (prior_H if use_prior
+              else jnp.zeros((9, 9), jnp.float32))
+        active = jnp.trace(pH) > 1e-6
+        pH = jnp.where(active, pH, 1e4 * jnp.eye(9, dtype=jnp.float32))
+        marg = marginal_info_slot1(Hi_f.reshape(W * 9, W * 9), pH, 1e-6)
+        # Symmetrize (numerical) — downstream treats it as an information
+        # matrix.
+        info["marg_H"] = 0.5 * (marg + marg.T)
+        info["marg_lin"] = (state.R[1], state.t[1], v[1])
+    if est_bias:
+        return (state, v, bias[:3], bias[3:]), info
     return (state, v), info

@@ -45,6 +45,10 @@ class SyntheticConfig:
     accel_noise: float = 0.0
     gyro_bias: tuple = (0.0, 0.0, 0.0)
     accel_bias: tuple = (0.0, 0.0, 0.0)
+    # Linear in-run bias drift (units/s): bias(t) = bias + drift * t — the
+    # dominant real-IMU error source the online bias estimator must track.
+    gyro_bias_drift: tuple = (0.0, 0.0, 0.0)
+    accel_bias_drift: tuple = (0.0, 0.0, 0.0)
     patch_half: int = 3                   # landmark texture patch half-size
     background_noise: float = 6.0
 
@@ -132,8 +136,13 @@ def make_synthetic_sequence(
     # later draw — sequences would not be prefix-stable across lengths
     # (checkpoint/resume tests rely on prefix stability).
     rng_imu = np.random.default_rng(int(rng.integers(2 ** 62)))
-    gyro = gyro + np.asarray(cfg.gyro_bias) + cfg.gyro_noise * rng_imu.standard_normal(gyro.shape)
-    accel = accel + np.asarray(cfg.accel_bias) + cfg.accel_noise * rng_imu.standard_normal(accel.shape)
+    t_imu_col = t_imu[:, None]
+    gyro = (gyro + np.asarray(cfg.gyro_bias)
+            + np.asarray(cfg.gyro_bias_drift) * t_imu_col
+            + cfg.gyro_noise * rng_imu.standard_normal(gyro.shape))
+    accel = (accel + np.asarray(cfg.accel_bias)
+             + np.asarray(cfg.accel_bias_drift) * t_imu_col
+             + cfg.accel_noise * rng_imu.standard_normal(accel.shape))
 
     # --- Render images: each landmark gets a fixed random texture patch,
     # splatted with bilinear sub-pixel placement. Unique texture per landmark

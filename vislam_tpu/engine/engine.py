@@ -33,7 +33,12 @@ from vislam_tpu.frontend.pose import (
 )
 from vislam_tpu.frontend.essential import ransac_essential
 from vislam_tpu.inertial.filters import madgwick_scan
-from vislam_tpu.inertial.preintegration import preintegrate
+from vislam_tpu.inertial.preintegration import (
+    Preintegrated,
+    bias_correct,
+    compose,
+    preintegrate,
+)
 from vislam_tpu.engine.state import EngineState, init_state
 from vislam_tpu.utils.config import SystemConfig
 
@@ -196,13 +201,56 @@ class VIOEngine:
             dp_since_kf = state.kf_dp_imu + dp_step
 
             # Compose this frame's preintegration onto the accumulated
-            # keyframe->current factor (standard preintegration chaining,
-            # frame-of-last-keyframe body coords): feeds the VI-BA's
-            # inter-keyframe IMU factors on promotion.
-            pre_dp_acc = (state.kf_pre_dp + state.kf_pre_dv * T
-                          + state.kf_pre_dR @ pre.dp)
-            pre_dv_acc = state.kf_pre_dv + state.kf_pre_dR @ pre.dv
-            pre_dR_acc = lie.orthonormalize(state.kf_pre_dR @ pre.dR)
+            # keyframe->current factor (standard preintegration chaining
+            # with bias-Jacobian propagation, frame-of-last-keyframe body
+            # coords): feeds the VI-BA's inter-keyframe IMU factors — and
+            # their bias-correction Jacobians — on promotion.
+            acc = Preintegrated(
+                dR=state.kf_pre_dR, dv=state.kf_pre_dv, dp=state.kf_pre_dp,
+                dt=state.kf_time,
+                J_dR_bg=state.kf_pre_J_R_bg, J_dv_bg=state.kf_pre_J_v_bg,
+                J_dv_ba=state.kf_pre_J_v_ba, J_dp_bg=state.kf_pre_J_p_bg,
+                J_dp_ba=state.kf_pre_J_p_ba,
+            )
+            pre_acc = compose(acc, pre, dt_b=T)
+            pre_acc = pre_acc._replace(dR=lie.orthonormalize(pre_acc.dR))
+
+            # Rolling gyro-bias recalibration on quasi-static frames (role
+            # of /root/reference/src/Imu.cpp:423-428). Stillness detection
+            # is variance-based within this frame's IMU window (invariant to
+            # the bias itself); a magnitude bound on the de-biased mean rate
+            # rejects constant-rate rotation. The accumulated factor is
+            # first-order re-corrected so its linearization point tracks
+            # the updated bias.
+            bias_g_new = state.bias_g
+            if en.gyro_recalib and not en.vision_rotation:
+                w_raw = imu[:, :3]
+                a_raw = imu[:, 3:]
+                validw = (imu_dt > 0).astype(jnp.float32)[:, None]
+                n = jnp.sum(validw)
+                nf = jnp.maximum(n, 1.0)
+                w_mean = jnp.sum(w_raw * validw, 0) / nf
+                w_std = jnp.sqrt(jnp.maximum(
+                    jnp.sum((w_raw - w_mean) ** 2 * validw, 0) / nf, 0.0))
+                a_mean = jnp.sum(a_raw * validw, 0) / nf
+                a_std = jnp.sqrt(jnp.maximum(
+                    jnp.sum((a_raw - a_mean) ** 2 * validw, 0) / nf, 0.0))
+                a_dev = jnp.abs(jnp.linalg.norm(a_mean) - en.gravity)
+                still = (
+                    (n >= 4.0)
+                    & (jnp.max(w_std) < en.recalib_gyro_std)
+                    & (jnp.max(a_std) < en.recalib_accel_std)
+                    & (a_dev < en.recalib_accel_dev)
+                    & (jnp.linalg.norm(w_mean - state.bias_g) < 0.05)
+                )
+                dbg = jnp.where(
+                    still, en.recalib_alpha * (w_mean - state.bias_g), 0.0
+                )
+                bias_g_new = state.bias_g + dbg
+                pre_acc = bias_correct(pre_acc, dbg, jnp.zeros(3, jnp.float32))
+            pre_dR_acc, pre_dv_acc, pre_dp_acc = (
+                pre_acc.dR, pre_acc.dv, pre_acc.dp
+            )
             imu_t_norm = jnp.linalg.norm(dp_since_kf)
             scale = jnp.where(gt_t_norm >= 0.0, gt_t_norm, imu_t_norm)
             t_ji = t_dir * scale  # frame-j coords: X_j = R_ji X_i + t_ji
@@ -303,6 +351,13 @@ class VIOEngine:
                 imu_dv=roll_if_full(win.imu_dv),
                 imu_dp=roll_if_full(win.imu_dp),
                 imu_dt=roll_if_full(win.imu_dt),
+                imu_J_R_bg=roll_if_full(win.imu_J_R_bg),
+                imu_J_v_bg=roll_if_full(win.imu_J_v_bg),
+                imu_J_v_ba=roll_if_full(win.imu_J_v_ba),
+                imu_J_p_bg=roll_if_full(win.imu_J_p_bg),
+                imu_J_p_ba=roll_if_full(win.imu_J_p_ba),
+                imu_bg_ref=roll_if_full(win.imu_bg_ref),
+                imu_ba_ref=roll_if_full(win.imu_ba_ref),
                 # Slot 0's stored factor points at the keyframe just
                 # evicted — it is meaningless after a roll.
                 imu_valid=roll_if_full(win.imu_valid).at[0].set(
@@ -331,6 +386,13 @@ class VIOEngine:
                 imu_valid=rolled.imu_valid.at[slot].set(
                     (pre.dt > 1e-6) & (slot > 0)
                 ),
+                imu_J_R_bg=rolled.imu_J_R_bg.at[slot].set(pre_acc.J_dR_bg),
+                imu_J_v_bg=rolled.imu_J_v_bg.at[slot].set(pre_acc.J_dv_bg),
+                imu_J_v_ba=rolled.imu_J_v_ba.at[slot].set(pre_acc.J_dv_ba),
+                imu_J_p_bg=rolled.imu_J_p_bg.at[slot].set(pre_acc.J_dp_bg),
+                imu_J_p_ba=rolled.imu_J_p_ba.at[slot].set(pre_acc.J_dp_ba),
+                imu_bg_ref=rolled.imu_bg_ref.at[slot].set(bias_g_new),
+                imu_ba_ref=rolled.imu_ba_ref.at[slot].set(state.bias_a),
             )
             new_window = jax.tree.map(sel, updated, win)
 
@@ -369,10 +431,11 @@ class VIOEngine:
                     is_kf, new_window.v_w.at[slot].set(v_new), new_window.v_w
                 )
             )
+            zero33 = jnp.zeros((3, 3), jnp.float32)
             new_state = EngineState(
                 q_wb=q_wb,
                 v_w=v_new,
-                bias_g=state.bias_g,
+                bias_g=bias_g_new,
                 bias_a=state.bias_a,
                 R_wc=jnp.where(solved, R_wc_j, R_wc_j_imu),
                 p_wc=p_wc_j,
@@ -389,6 +452,30 @@ class VIOEngine:
                                     pre_dR_acc),
                 kf_pre_dv=jnp.where(is_kf, jnp.zeros(3), pre_dv_acc),
                 kf_pre_dp=jnp.where(is_kf, jnp.zeros(3), pre_dp_acc),
+                kf_pre_J_R_bg=jnp.where(is_kf, zero33, pre_acc.J_dR_bg),
+                kf_pre_J_v_bg=jnp.where(is_kf, zero33, pre_acc.J_dv_bg),
+                kf_pre_J_v_ba=jnp.where(is_kf, zero33, pre_acc.J_dv_ba),
+                kf_pre_J_p_bg=jnp.where(is_kf, zero33, pre_acc.J_dp_bg),
+                kf_pre_J_p_ba=jnp.where(is_kf, zero33, pre_acc.J_dp_ba),
+                # Marginalization-prior handoff: when this promotion evicts
+                # the oldest keyframe (window roll), the pending prior the
+                # last BA computed for the pre-roll slot 1 now targets slot
+                # 0. Pending is cleared so a stale prior can never be
+                # installed twice.
+                marg_H=jnp.where(is_kf & full, state.marg_pend_H,
+                                 state.marg_H),
+                marg_R_cw=jnp.where(is_kf & full, state.marg_pend_R_cw,
+                                    state.marg_R_cw),
+                marg_t_cw=jnp.where(is_kf & full, state.marg_pend_t_cw,
+                                    state.marg_t_cw),
+                marg_v=jnp.where(is_kf & full, state.marg_pend_v,
+                                 state.marg_v),
+                marg_pend_H=jnp.where(is_kf & full,
+                                      jnp.zeros((9, 9), jnp.float32),
+                                      state.marg_pend_H),
+                marg_pend_R_cw=state.marg_pend_R_cw,
+                marg_pend_t_cw=state.marg_pend_t_cw,
+                marg_pend_v=state.marg_pend_v,
             )
             if be.refine_in_step:
                 # In-step windowed (V)I-BA: the refine program joins this

@@ -198,8 +198,15 @@ def refine_window(state: EngineState, cfg: SystemConfig,
         # the oldest pose is gauge-fixed and velocities co-refine.
         from vislam_tpu.backend.vi_ba import ImuFactors, vi_bundle_adjust
 
-        fac = ImuFactors(dR=win.imu_dR, dv=win.imu_dv, dp=win.imu_dp,
-                         dt=win.imu_dt, valid=win.imu_valid)
+        est_bias = be.estimate_bias
+        fac = ImuFactors(
+            dR=win.imu_dR, dv=win.imu_dv, dp=win.imu_dp,
+            dt=win.imu_dt, valid=win.imu_valid,
+            **(dict(J_R_bg=win.imu_J_R_bg, J_v_bg=win.imu_J_v_bg,
+                    J_v_ba=win.imu_J_v_ba, J_p_bg=win.imu_J_p_bg,
+                    J_p_ba=win.imu_J_p_ba, bg_ref=win.imu_bg_ref,
+                    ba_ref=win.imu_ba_ref) if est_bias else {}),
+        )
         g_w = jnp.array([0.0, 0.0, -cfg.engine.gravity], jnp.float32)
         Rbc = jnp.eye(3, dtype=jnp.float32) if R_bc is None else jnp.asarray(
             R_bc, jnp.float32)
@@ -211,15 +218,44 @@ def refine_window(state: EngineState, cfg: SystemConfig,
         # (solve_vi_system frees them at fixed poses), so the IMU-scale
         # channel still gets the full benefit.
         fixed = (W_idx == 0) | (W_idx == anchor_slot)
-        if be.online_gauge != "ends":
+        if be.online_gauge == "marg":
+            # Marginalization-prior gauge: NO pose is hard-fixed once the
+            # prior is active — evicted keyframes' information (state.marg_*)
+            # anchors the window probabilistically, so the BA can correct
+            # the live anchor instead of being pinned to drifted odometry.
+            # Until the first eviction (prior empty) slot 0 is fixed.
+            prior_active = jnp.trace(state.marg_H) > 1e-6
+            fixed = jnp.where(prior_active, jnp.zeros_like(fixed),
+                              W_idx == 0)
+        elif be.online_gauge != "ends":
             fixed = W_idx == 0
-        (refined, v_refined), info = vi_bundle_adjust(
-            ba_state, prob, win.v_w, fac, g_w, Rbc,
-            iters=be.lm_iters, lam0=be.lm_lambda0,
-            huber_delta=be.huber_delta,
-            w_rot=be.vi_w_rot, w_vel=be.vi_w_vel, w_pos=be.vi_w_pos,
-            fixed_mask=fixed,
-        )
+        marg_kwargs = {}
+        if be.online_gauge == "marg":
+            marg_kwargs = dict(
+                prior_H=state.marg_H,
+                prior_lin=(state.marg_R_cw, state.marg_t_cw, state.marg_v),
+                compute_marginal=True,
+            )
+        if est_bias:
+            (refined, v_refined, bg_ref, ba_ref), info = vi_bundle_adjust(
+                ba_state, prob, win.v_w, fac, g_w, Rbc,
+                iters=be.lm_iters, lam0=be.lm_lambda0,
+                huber_delta=be.huber_delta,
+                w_rot=be.vi_w_rot, w_vel=be.vi_w_vel, w_pos=be.vi_w_pos,
+                fixed_mask=fixed,
+                bg0=state.bias_g, ba0=state.bias_a,
+                w_bg_prior=be.vi_w_bg_prior, w_ba_prior=be.vi_w_ba_prior,
+                **marg_kwargs,
+            )
+        else:
+            (refined, v_refined), info = vi_bundle_adjust(
+                ba_state, prob, win.v_w, fac, g_w, Rbc,
+                iters=be.lm_iters, lam0=be.lm_lambda0,
+                huber_delta=be.huber_delta,
+                w_rot=be.vi_w_rot, w_vel=be.vi_w_vel, w_pos=be.vi_w_pos,
+                fixed_mask=fixed,
+                **marg_kwargs,
+            )
     else:
         if be.online_gauge == "ends":
             fixed = (W_idx < 2) | (W_idx == anchor_slot)
@@ -286,8 +322,63 @@ def refine_window(state: EngineState, cfg: SystemConfig,
         dv_scale = jnp.minimum(1.0, be.max_anchor_vel / jnp.maximum(dvn, 1e-9))
         v_w_state = jnp.where(v_ok, state.v_w + dv_anchor * dv_scale,
                               state.v_w)
+    marg_updates = {}
+    if be.vi_factors and be.online_gauge == "marg":
+        # Store the pending prior the BA computed for the next eviction
+        # (discounted + trace-capped; see config). Kept only when the BA
+        # was accepted — otherwise the previous pending stays.
+        mH = info["marg_H"] * be.marg_discount
+        tr = jnp.trace(mH)
+        mH = mH * jnp.minimum(1.0, be.marg_max_trace / jnp.maximum(tr, 1e-9))
+        m_ok = good & jnp.all(jnp.isfinite(mH)) & (tr > 0.0)
+        mR, mt, mv = info["marg_lin"]
+        marg_updates = dict(
+            marg_pend_H=jnp.where(m_ok, mH, state.marg_pend_H),
+            marg_pend_R_cw=jnp.where(m_ok, mR, state.marg_pend_R_cw),
+            marg_pend_t_cw=jnp.where(m_ok, mt, state.marg_pend_t_cw),
+            marg_pend_v=jnp.where(m_ok, mv, state.marg_pend_v),
+        )
+    bias_updates = {}
+    if be.vi_factors and be.estimate_bias:
+        # Online-bias write-back (capped, like every other BA->engine
+        # feedback channel): the refined window bias becomes the engine's
+        # bias for all subsequent preintegration, and the in-flight
+        # keyframe->current accumulator is first-order re-corrected so its
+        # linearization point stays equal to the live bias state.
+        from vislam_tpu.inertial.preintegration import (
+            Preintegrated, bias_correct,
+        )
+
+        b_ok = (good & jnp.all(jnp.isfinite(bg_ref))
+                & jnp.all(jnp.isfinite(ba_ref))
+                & (jnp.sum(win.imu_valid) >= be.bias_min_factors))
+        dbg = bg_ref - state.bias_g
+        dba = ba_ref - state.bias_a
+        dbg = dbg * jnp.minimum(
+            1.0, be.max_bias_g_step / jnp.maximum(jnp.linalg.norm(dbg), 1e-12))
+        dba = dba * jnp.minimum(
+            1.0, be.max_bias_a_step / jnp.maximum(jnp.linalg.norm(dba), 1e-12))
+        dbg = jnp.where(
+            b_ok & (jnp.linalg.norm(dbg) > be.bias_g_deadband), dbg, 0.0)
+        dba = jnp.where(
+            b_ok & (jnp.linalg.norm(dba) > be.bias_a_deadband), dba, 0.0)
+        acc = Preintegrated(
+            dR=state.kf_pre_dR, dv=state.kf_pre_dv, dp=state.kf_pre_dp,
+            dt=state.kf_time,
+            J_dR_bg=state.kf_pre_J_R_bg, J_dv_bg=state.kf_pre_J_v_bg,
+            J_dv_ba=state.kf_pre_J_v_ba, J_dp_bg=state.kf_pre_J_p_bg,
+            J_dp_ba=state.kf_pre_J_p_ba,
+        )
+        acc = bias_correct(acc, dbg, dba)
+        bias_updates = dict(
+            bias_g=state.bias_g + dbg,
+            bias_a=state.bias_a + dba,
+            kf_pre_dR=acc.dR, kf_pre_dv=acc.dv, kf_pre_dp=acc.dp,
+        )
     return state._replace(
         window=new_win,
+        **marg_updates,
+        **bias_updates,
         kf_R_wc=jnp.where(good, kf_R_wc, state.kf_R_wc),
         kf_p_wc=jnp.where(good, kf_p_wc, state.kf_p_wc),
         R_wc=jnp.where(good, kf_R_wc, state.R_wc),

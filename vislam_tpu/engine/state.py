@@ -39,6 +39,21 @@ class KeyframeWindow(NamedTuple):
     imu_dp: jnp.ndarray    # (W, 3) preintegrated position (frame-i body)
     imu_dt: jnp.ndarray    # (W,) integration time
     imu_valid: jnp.ndarray  # (W,) bool factor validity
+    # First-order bias Jacobians of each stored factor (Forster eq. 69-71,
+    # chained across frames by the engine) and the bias linearization point
+    # the factor was integrated at. These are what make ONLINE bias
+    # estimation possible: the VI-BA corrects each factor to a candidate
+    # bias b via dR·Exp(J_R_bg δbg), dv + J_v_bg δbg + J_v_ba δba, ...
+    # without re-integrating raw IMU (which is not retained). Capability
+    # upgrade over the reference's in-run gyro recalibration
+    # (/root/reference/src/Imu.cpp:423-428).
+    imu_J_R_bg: jnp.ndarray  # (W, 3, 3)
+    imu_J_v_bg: jnp.ndarray  # (W, 3, 3)
+    imu_J_v_ba: jnp.ndarray  # (W, 3, 3)
+    imu_J_p_bg: jnp.ndarray  # (W, 3, 3)
+    imu_J_p_ba: jnp.ndarray  # (W, 3, 3)
+    imu_bg_ref: jnp.ndarray  # (W, 3) gyro bias used when integrating slot w
+    imu_ba_ref: jnp.ndarray  # (W, 3) accel bias used when integrating slot w
 
 
 class EngineState(NamedTuple):
@@ -67,6 +82,32 @@ class EngineState(NamedTuple):
     kf_pre_dR: jnp.ndarray   # (3, 3)
     kf_pre_dv: jnp.ndarray   # (3,)
     kf_pre_dp: jnp.ndarray   # (3,)
+    # Bias Jacobians of the accumulated keyframe->current factor, chained
+    # alongside it (linearization point == the CURRENT bias state; whenever
+    # bias_g/bias_a change mid-interval the accumulators are first-order
+    # re-corrected so this invariant holds).
+    kf_pre_J_R_bg: jnp.ndarray  # (3, 3)
+    kf_pre_J_v_bg: jnp.ndarray  # (3, 3)
+    kf_pre_J_v_ba: jnp.ndarray  # (3, 3)
+    kf_pre_J_p_bg: jnp.ndarray  # (3, 3)
+    kf_pre_J_p_ba: jnp.ndarray  # (3, 3)
+    # Sliding-window marginalization prior on window slot 0 (pose twist +
+    # velocity, 9 dims): information matrix + linearization point. 'active'
+    # is what the VI-BA consumes; 'pend' targets the CURRENT slot 1 (the
+    # next slot 0) and is computed by the VI-BA each refinement; the engine
+    # swaps pend -> active when the window rolls (keyframe eviction).
+    # Replaces hard gauge pinning in online_gauge="marg" mode — evicted
+    # keyframes keep constraining the window instead of vanishing (the
+    # upgrade of /root/reference/src/VISystem.cpp:1113-1448's frame-pair GN
+    # to a proper marginalized sliding window).
+    marg_H: jnp.ndarray         # (9, 9)
+    marg_R_cw: jnp.ndarray      # (3, 3)
+    marg_t_cw: jnp.ndarray      # (3,)
+    marg_v: jnp.ndarray         # (3,)
+    marg_pend_H: jnp.ndarray    # (9, 9)
+    marg_pend_R_cw: jnp.ndarray  # (3, 3)
+    marg_pend_t_cw: jnp.ndarray  # (3,)
+    marg_pend_v: jnp.ndarray     # (3,)
 
 
 def init_window(W: int, K: int, D: int) -> KeyframeWindow:
@@ -84,6 +125,13 @@ def init_window(W: int, K: int, D: int) -> KeyframeWindow:
         imu_dp=jnp.zeros((W, 3), jnp.float32),
         imu_dt=jnp.zeros((W,), jnp.float32),
         imu_valid=jnp.zeros((W,), bool),
+        imu_J_R_bg=jnp.zeros((W, 3, 3), jnp.float32),
+        imu_J_v_bg=jnp.zeros((W, 3, 3), jnp.float32),
+        imu_J_v_ba=jnp.zeros((W, 3, 3), jnp.float32),
+        imu_J_p_bg=jnp.zeros((W, 3, 3), jnp.float32),
+        imu_J_p_ba=jnp.zeros((W, 3, 3), jnp.float32),
+        imu_bg_ref=jnp.zeros((W, 3), jnp.float32),
+        imu_ba_ref=jnp.zeros((W, 3), jnp.float32),
     )
 
 
@@ -138,4 +186,17 @@ def init_state(
         kf_pre_dR=jnp.eye(3, dtype=jnp.float32),
         kf_pre_dv=jnp.zeros(3, jnp.float32),
         kf_pre_dp=jnp.zeros(3, jnp.float32),
+        kf_pre_J_R_bg=jnp.zeros((3, 3), jnp.float32),
+        kf_pre_J_v_bg=jnp.zeros((3, 3), jnp.float32),
+        kf_pre_J_v_ba=jnp.zeros((3, 3), jnp.float32),
+        kf_pre_J_p_bg=jnp.zeros((3, 3), jnp.float32),
+        kf_pre_J_p_ba=jnp.zeros((3, 3), jnp.float32),
+        marg_H=jnp.zeros((9, 9), jnp.float32),
+        marg_R_cw=jnp.eye(3, dtype=jnp.float32),
+        marg_t_cw=jnp.zeros(3, jnp.float32),
+        marg_v=jnp.zeros(3, jnp.float32),
+        marg_pend_H=jnp.zeros((9, 9), jnp.float32),
+        marg_pend_R_cw=jnp.eye(3, dtype=jnp.float32),
+        marg_pend_t_cw=jnp.zeros(3, jnp.float32),
+        marg_pend_v=jnp.zeros(3, jnp.float32),
     )

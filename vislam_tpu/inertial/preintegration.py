@@ -97,6 +97,44 @@ def preintegrate(gyro, accel, dt, bias_gyro=None, bias_accel=None) -> Preintegra
     return Preintegrated(dR, dv, dp, T, J_R_bg, J_v_bg, J_v_ba, J_p_bg, J_p_ba)
 
 
+def compose(a: Preintegrated, b: Preintegrated, dt_b=None) -> Preintegrated:
+    """Chain factor a (i->m) with factor b (m->j) into one factor (i->j).
+
+    Standard preintegration composition with first-order bias-Jacobian
+    chaining (both factors must share the same bias linearization point):
+        dR = dR_a dR_b,  dv = dv_a + dR_a dv_b,
+        dp = dp_a + dv_a T_b + dR_a dp_b.
+    dt_b overrides b's integration time (the engine substitutes the frame
+    period when the IMU window is empty).
+    """
+    T_b = b.dt if dt_b is None else dt_b
+    dR = a.dR @ b.dR
+    dv = a.dv + a.dR @ b.dv
+    dp = a.dp + a.dv * T_b + a.dR @ b.dp
+    # d/dbias of the composed quantities (Exp(J δ) ≈ I + hat(J δ)):
+    J_dR_bg = b.dR.T @ a.J_dR_bg + b.J_dR_bg
+    J_dv_bg = a.J_dv_bg + a.dR @ b.J_dv_bg - a.dR @ so3_hat(b.dv) @ a.J_dR_bg
+    J_dv_ba = a.J_dv_ba + a.dR @ b.J_dv_ba
+    J_dp_bg = (a.J_dp_bg + a.J_dv_bg * T_b + a.dR @ b.J_dp_bg
+               - a.dR @ so3_hat(b.dp) @ a.J_dR_bg)
+    J_dp_ba = a.J_dp_ba + a.J_dv_ba * T_b + a.dR @ b.J_dp_ba
+    return Preintegrated(dR, dv, dp, a.dt + T_b,
+                         J_dR_bg, J_dv_bg, J_dv_ba, J_dp_bg, J_dp_ba)
+
+
+def bias_correct(pre: Preintegrated, dbg, dba) -> Preintegrated:
+    """First-order re-linearization of a factor to bias + (dbg, dba).
+
+    Forster et al. eq. 44: dR -> dR Exp(J_dR_bg δbg), dv -> dv + J δb,
+    dp -> dp + J δb. The returned factor's Jacobians are unchanged (exact to
+    first order); its linearization point is the shifted bias.
+    """
+    dR = pre.dR @ so3_exp(pre.J_dR_bg @ dbg)
+    dv = pre.dv + pre.J_dv_bg @ dbg + pre.J_dv_ba @ dba
+    dp = pre.dp + pre.J_dp_bg @ dbg + pre.J_dp_ba @ dba
+    return pre._replace(dR=dR, dv=dv, dp=dp)
+
+
 def predict_state(pre: Preintegrated, R_i, v_i, p_i, gravity=9.81):
     """Propagate world-frame state (R, v, p) through a preintegrated factor."""
     g_w = jnp.array([0.0, 0.0, -gravity], dtype=v_i.dtype)
