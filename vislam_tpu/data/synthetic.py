@@ -81,6 +81,32 @@ def _trajectory(cfg: SyntheticConfig, t: np.ndarray):
     return pos, vel, acc, R_wb, rpy
 
 
+def imu_measurements(cfg: SyntheticConfig, t_imu: np.ndarray, rng_imu):
+    """Body-frame gyro/accel at times t_imu for the analytic trajectory,
+    with the configured bias, bias drift, and white noise applied.
+
+    Shared by the oracle generator below and the adversarial renderer
+    (data/adversarial.py) so both emit physically consistent IMU streams.
+    """
+    dt_imu = float(t_imu[1] - t_imu[0]) if len(t_imu) > 1 else 1.0
+    _, _, acc_i, R_wb_i, _ = _trajectory(cfg, t_imu)
+    # Gyro: body angular velocity from relative rotation between samples.
+    dR = np.einsum("nij,nik->njk", R_wb_i[:-1], R_wb_i[1:])  # R_i^T R_{i+1}
+    rotvec = _Rot.from_matrix(dR).as_rotvec() / dt_imu
+    gyro = np.vstack([rotvec, rotvec[-1:]])
+    # Accelerometer: specific force in body frame, gravity pointing -z world.
+    g_w = np.array([0.0, 0.0, -cfg.gravity])
+    accel = np.einsum("nji,nj->ni", R_wb_i, acc_i - g_w)
+    t_imu_col = t_imu[:, None]
+    gyro = (gyro + np.asarray(cfg.gyro_bias)
+            + np.asarray(cfg.gyro_bias_drift) * t_imu_col
+            + cfg.gyro_noise * rng_imu.standard_normal(gyro.shape))
+    accel = (accel + np.asarray(cfg.accel_bias)
+             + np.asarray(cfg.accel_bias_drift) * t_imu_col
+             + cfg.accel_noise * rng_imu.standard_normal(accel.shape))
+    return gyro, accel
+
+
 def make_synthetic_sequence(
     cfg: SyntheticConfig = SyntheticConfig(),
     calib: Optional[CameraCalib] = None,
@@ -123,26 +149,12 @@ def make_synthetic_sequence(
     quat_wxyz = np.roll(quat_c, 1, axis=-1)
 
     # --- IMU measurements at IMU rate.
-    pos_i, _, acc_i, R_wb_i, _ = _trajectory(cfg, t_imu)
-    # Gyro: body angular velocity from relative rotation between samples.
-    dR = np.einsum("nij,nik->njk", R_wb_i[:-1], R_wb_i[1:])  # R_i^T R_{i+1}
-    rotvec = _Rot.from_matrix(dR).as_rotvec() / dt_imu
-    gyro = np.vstack([rotvec, rotvec[-1:]])
-    # Accelerometer: specific force in body frame, gravity pointing -z world.
-    g_w = np.array([0.0, 0.0, -cfg.gravity])
-    accel = np.einsum("nji,nj->ni", R_wb_i, acc_i - g_w)
     # IMU noise comes from a dedicated child generator: its draw count depends
     # on n_frames, and consuming it from the main stream would shift every
     # later draw — sequences would not be prefix-stable across lengths
     # (checkpoint/resume tests rely on prefix stability).
     rng_imu = np.random.default_rng(int(rng.integers(2 ** 62)))
-    t_imu_col = t_imu[:, None]
-    gyro = (gyro + np.asarray(cfg.gyro_bias)
-            + np.asarray(cfg.gyro_bias_drift) * t_imu_col
-            + cfg.gyro_noise * rng_imu.standard_normal(gyro.shape))
-    accel = (accel + np.asarray(cfg.accel_bias)
-             + np.asarray(cfg.accel_bias_drift) * t_imu_col
-             + cfg.accel_noise * rng_imu.standard_normal(accel.shape))
+    gyro, accel = imu_measurements(cfg, t_imu, rng_imu)
 
     # --- Render images: each landmark gets a fixed random texture patch,
     # splatted with bilinear sub-pixel placement. Unique texture per landmark

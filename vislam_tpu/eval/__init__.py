@@ -1,5 +1,6 @@
 from vislam_tpu.eval.metrics import ate_rmse, rpe_rmse, umeyama_alignment
 from vislam_tpu.eval.traj_io import write_trajectory_csv, read_trajectory_csv
+from vislam_tpu.eval.runner import run_vio_sequence
 
 __all__ = [
     "ate_rmse",
@@ -7,4 +8,5 @@ __all__ = [
     "umeyama_alignment",
     "write_trajectory_csv",
     "read_trajectory_csv",
+    "run_vio_sequence",
 ]
