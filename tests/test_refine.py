@@ -89,10 +89,11 @@ def test_refine_recovers_corrupted_pose(run):
 
 
 def test_ends_gauge_leaves_anchor_untouched(run):
-    """The default 'ends' gauge must never move the live anchor."""
+    """Vision-only windows must never move the live anchor: the default
+    'marg' gauge is VI-only and falls back to 'ends' behavior here."""
     seq, eng, state = run
     calib = seq["calib"]
-    assert eng.cfg.backend.online_gauge == "ends"
+    assert eng.cfg.backend.online_gauge == "marg"
     refined = refine_window(state, eng.cfg, calib.fx, calib.fy,
                             calib.cx, calib.cy)
     np.testing.assert_allclose(

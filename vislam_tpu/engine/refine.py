@@ -257,7 +257,10 @@ def refine_window(state: EngineState, cfg: SystemConfig,
                 **marg_kwargs,
             )
     else:
-        if be.online_gauge == "ends":
+        if be.online_gauge != "oldest2":
+            # 'ends' — also what 'marg' (a VI-only gauge: the prior is built
+            # from the IMU odometry chain, marginal_info_slot1) falls back
+            # to in vision-only windows.
             fixed = (W_idx < 2) | (W_idx == anchor_slot)
         else:
             # 'oldest2' (anchor-refining) gauge: fixing slots {0, 1} is

@@ -35,37 +35,52 @@ from vislam_tpu.backend.ba import (
 )
 
 
-def shard_problem(state: BAState, prob: BAProblem, mesh: Mesh, axis: str = "map"):
+def _axis_size(mesh: Mesh, axis) -> int:
+    """Total device count of a (possibly tuple) mesh axis."""
+    if isinstance(axis, (tuple, list)):
+        n = 1
+        for a in axis:
+            n *= mesh.shape[a]
+        return n
+    return mesh.shape[axis]
+
+
+def shard_problem(state: BAState, prob: BAProblem, mesh: Mesh, axis="map"):
     """Place the problem on the mesh: landmarks sharded, poses replicated.
 
+    axis may be one mesh axis name or a tuple — e.g. ("host", "map") shards
+    landmarks jointly over the cross-process DCN axis and the local ICI axis
+    (the multi-host production layout; see parallel.mesh.make_global_mesh).
     Pads L up to a multiple of the axis size if needed (masked padding rows).
+    Accepts numpy or jax arrays; under multi-process JAX pass numpy/host
+    arrays (identical on every process) so device_put can build the global
+    sharded arrays from per-process local shards.
     """
-    n = mesh.shape[axis]
-    L = state.X.shape[0]
+    import numpy as np
+
+    n = _axis_size(mesh, axis)
+    # Host-side (numpy) padding: under multi-process JAX, intermediate
+    # single-device jnp arrays cannot be device_put to a global sharding;
+    # plain numpy arrays (identical per process) can.
+    X = np.asarray(state.X)
+    obs_uv = np.asarray(prob.obs_uv)
+    obs_mask = np.asarray(prob.obs_mask)
+    L = X.shape[0]
     pad = (-L) % n
     if pad:
-        state = BAState(
-            R=state.R,
-            t=state.t,
-            X=jnp.concatenate([state.X, jnp.ones((pad, 3), state.X.dtype)], 0),
-        )
-        prob = BAProblem(
-            obs_uv=jnp.concatenate(
-                [prob.obs_uv, jnp.zeros((prob.obs_uv.shape[0], pad, 2), prob.obs_uv.dtype)], 1
-            ),
-            obs_mask=jnp.concatenate(
-                [prob.obs_mask, jnp.zeros((prob.obs_mask.shape[0], pad), bool)], 1
-            ),
-            fx=prob.fx, fy=prob.fy, cx=prob.cx, cy=prob.cy,
-        )
+        X = np.concatenate([X, np.ones((pad, 3), X.dtype)], 0)
+        obs_uv = np.concatenate(
+            [obs_uv, np.zeros((obs_uv.shape[0], pad, 2), obs_uv.dtype)], 1)
+        obs_mask = np.concatenate(
+            [obs_mask, np.zeros((obs_mask.shape[0], pad), bool)], 1)
     state = BAState(
-        R=jax.device_put(state.R, NamedSharding(mesh, P())),
-        t=jax.device_put(state.t, NamedSharding(mesh, P())),
-        X=jax.device_put(state.X, NamedSharding(mesh, P(axis))),
+        R=jax.device_put(np.asarray(state.R), NamedSharding(mesh, P())),
+        t=jax.device_put(np.asarray(state.t), NamedSharding(mesh, P())),
+        X=jax.device_put(X, NamedSharding(mesh, P(axis))),
     )
     prob = BAProblem(
-        obs_uv=jax.device_put(prob.obs_uv, NamedSharding(mesh, P(None, axis))),
-        obs_mask=jax.device_put(prob.obs_mask, NamedSharding(mesh, P(None, axis))),
+        obs_uv=jax.device_put(obs_uv, NamedSharding(mesh, P(None, axis))),
+        obs_mask=jax.device_put(obs_mask, NamedSharding(mesh, P(None, axis))),
         fx=prob.fx, fy=prob.fy, cx=prob.cx, cy=prob.cy,
     )
     return state, prob
@@ -75,14 +90,21 @@ def dist_bundle_adjust(
     state: BAState,
     prob: BAProblem,
     mesh: Mesh,
-    axis: str = "map",
+    axis="map",
     iters: int = 8,
     lam0: float = 1e-3,
     huber_delta: float = 2.0,
     fix_first: bool = True,
 ):
-    """Sharded LM loop. state/prob must be placed by shard_problem first."""
+    """Sharded LM loop. state/prob must be placed by shard_problem first.
 
+    axis: one mesh axis name or a tuple (multi-host: ("host", "map") —
+    the psum Schur reduction then spans DCN + ICI). Runs unchanged under
+    multi-process JAX (see parallel.mesh.distributed_init): every process
+    executes the same program on its addressable shards and the collectives
+    span the global mesh.
+    """
+    axis = tuple(axis) if isinstance(axis, (tuple, list)) else axis
     fx, fy, cx, cy = prob.fx, prob.fy, prob.cx, prob.cy  # static scalars
 
     def lm_scan(R, t, X, obs_uv, obs_mask):
@@ -101,7 +123,7 @@ def dist_bundle_adjust(
             cand_cost = local_cost(cand)
             all_dX_finite = (
                 jax.lax.psum(jnp.all(jnp.isfinite(dX)).astype(jnp.int32), axis)
-                == mesh.shape[axis]
+                == _axis_size(mesh, axis)
             )
             finite = jnp.isfinite(cand_cost) & jnp.all(jnp.isfinite(dxi)) & all_dX_finite
             accept = finite & (cand_cost < cost)

@@ -103,12 +103,16 @@ class BackendConfig:
     #               (capped). Helps when odometry is noisy (vision-only).
     #   "ends"    — fix oldest + newest; interior poses refine, the live
     #               anchor never moves (no feedback; safe default).
-    #   "marg"    — sliding-window marginalization (VI mode): NO pose is
-    #               hard-fixed; evicted keyframes leave a Schur-complement
-    #               prior on the oldest remaining pose+velocity, so the BA
-    #               can correct the live anchor (capped) instead of being
-    #               pinned to drifted odometry.
-    online_gauge: str = "ends"
+    #   "marg"    — sliding-window marginalization (VI mode; vision-only
+    #               windows fall back to 'ends'): NO pose is hard-fixed;
+    #               evicted keyframes leave a Schur-complement prior on the
+    #               oldest remaining pose+velocity, so the BA can correct
+    #               the live anchor (capped) instead of being pinned to
+    #               drifted odometry. DEFAULT: measured across 4 VI-mode
+    #               oracle runs (gentle 80f seeds 0/2, aggressive seeds 1/3)
+    #               mean ATE 0.312 vs 0.360 ('ends'), and 0.30 vs 0.45 under
+    #               drifting IMU bias (test_bias_online).
+    online_gauge: str = "marg"
     marg_discount: float = 0.5     # prior down-weight per eviction (counters
                                    # re-observation double-counting)
     marg_max_trace: float = 1e6    # information cap (prevents the prior
