@@ -59,11 +59,46 @@ def test_match_pallas_agrees_with_jnp_matcher(rng):
     )
 
 
+def test_match_pallas_guided_gate_matches_jnp(rng):
+    """The fused gated kernel must agree with the jnp gated matcher exactly."""
+    a, b, ma, mb = _descs(rng, K=128, D=32)
+    uv_a = rng.uniform(0, 400, (128, 2)).astype(np.float32)
+    uv_b = (uv_a + rng.normal(0, 12, (128, 2))).astype(np.float32)
+    m_ref = match_descriptors(
+        jnp.asarray(a), jnp.asarray(ma), jnp.asarray(b), jnp.asarray(mb),
+        ratio=0.9, mutual=True, uv_pred=jnp.asarray(uv_a),
+        uv_b=jnp.asarray(uv_b), gate_radius=20.0,
+    )
+    # Fused gated kernel + the shared filter chain (as match.py applies it).
+    K = a.shape[0]
+    min1, min2, arg1, colarg = match_top2_pallas(
+        jnp.asarray(a), jnp.asarray(ma), jnp.asarray(b), jnp.asarray(mb),
+        uv_pred=jnp.asarray(uv_a), uv_b=jnp.asarray(uv_b), gate_radius=20.0,
+        interpret=True,
+    )
+    ok = np.asarray(ma) & (np.asarray(min1) < 5e8)
+    ok &= np.asarray(min1) < 0.81 * np.maximum(np.asarray(min2), 1e-12)
+    ok &= np.asarray(colarg)[np.clip(np.asarray(arg1), 0, K - 1)] == np.arange(K)
+    np.testing.assert_array_equal(np.asarray(m_ref.mask), ok)
+    sel = ok
+    np.testing.assert_array_equal(
+        np.asarray(m_ref.idx_b)[sel], np.asarray(arg1)[sel]
+    )
+
+
 def test_harris_kernel_matches_jnp_pipeline():
     seq = make_synthetic_sequence(SyntheticConfig(n_frames=2, n_landmarks=150, seed=4))
     img = jnp.asarray(seq["images"][0], jnp.float32)
-    ref = np.asarray(_nms(harris_response(img), radius=2))
-    pal = np.asarray(harris_nms_pallas(img, interpret=True))
+    full_ref = harris_response(img)
+    ref = np.asarray(_nms(full_ref, radius=2))
+    pal, pal_resp = harris_nms_pallas(img, interpret=True)
+    pal = np.asarray(pal)
+    # Raw-response output (used by subpixel refinement) matches the jnp field.
+    inner = np.s_[16:-16, 16:-16]
+    np.testing.assert_allclose(
+        np.asarray(pal_resp)[inner], np.asarray(full_ref)[inner],
+        rtol=5e-3, atol=5e-2,
+    )
     # Compare peak sets in the interior (border handling differs by design).
     interior = np.s_[16:-16, 16:-16]
     ref_peaks = np.isfinite(ref[interior]) & (ref[interior] > 1.0)

@@ -48,7 +48,12 @@ def main(argv=None):
                     help="offline mode: stage all frames and run the whole "
                          "sequence as one on-device scan (max throughput; "
                          "--ba fuses the window BA into the scanned step; "
-                         "no --loop-correct)")
+                         "--loop-correct archives keyframes from the scan "
+                         "outputs)")
+    ap.add_argument("--reloc", action="store_true",
+                    help="relocalize against the keyframe archive after a "
+                         "visual outage (host-loop modes): place recognition "
+                         "+ PnP snap the drifted pose back onto the map")
     ap.add_argument("--ba", action="store_true",
                     help="run sliding-window bundle adjustment on each keyframe")
     ap.add_argument("--vi-ba", action="store_true",
@@ -158,7 +163,7 @@ def main(argv=None):
         return state, fidx, meta
 
     def archive_keyframe(state, frame_index):
-        if not args.loop_correct:
+        if not (args.loop_correct or args.reloc):
             return
         from vislam_tpu.backend.trajectory_opt import KeyframeRecord
 
@@ -169,6 +174,37 @@ def main(argv=None):
             desc=np.asarray(state.kf_feat.desc),
             kp_mask=np.asarray(state.kf_feat.mask),
         ))
+
+    outage = {"n": 0}
+
+    def maybe_relocalize(eng, state, image, res, calib):
+        """After >=3 consecutive low-match frames, try snapping back onto the
+        map (backend/reloc.py). Returns the (possibly re-anchored) state."""
+        if not args.reloc:
+            return state
+        if int(res.num_matches) >= 20:
+            outage["n"] = 0
+            return state
+        outage["n"] += 1
+        if outage["n"] < 3 or len(kf_archive) < 2:
+            return state
+        from vislam_tpu.backend.reloc import attempt_relocalization
+        from vislam_tpu.frontend.features import extract_features
+
+        with timer.stage("reloc.attempt"):
+            f = extract_features(jnp.asarray(image, jnp.float32),
+                                 eng.cfg.frontend)
+            r = attempt_relocalization(
+                np.asarray(f.uv), np.asarray(f.desc), np.asarray(f.mask),
+                kf_archive, calib.fx, calib.fy, calib.cx, calib.cy,
+            )
+        if r.success:
+            print(f"relocalized against keyframe "
+                  f"{kf_archive[r.kf_index].frame_index} "
+                  f"({r.n_inliers} inliers, rmse {r.rmse:.2f} px)")
+            outage["n"] = 0
+            return eng.relocalize(state, image, r.R_wc, r.p_wc)
+        return state
 
     if args.synthetic:
         from vislam_tpu.data import SyntheticConfig, make_synthetic_sequence
@@ -223,6 +259,12 @@ def main(argv=None):
                         )
                 archive_keyframe(state, j)
                 save_ckpt(state, j, last_kf)
+            new_state = maybe_relocalize(eng, state, seq["images"][j], res, calib)
+            if new_state is not state:
+                state = new_state
+                last_kf = j  # tracking re-anchored at this frame
+                res = res._replace(p_wc=state.p_wc, q_wb=state.q_wb,
+                                   is_keyframe=True)
             est_positions.append(np.asarray(res.p_wc))
             gt_positions.append(seq["gt_pos"][j])
             rows.append(dict(
@@ -355,6 +397,19 @@ def main(argv=None):
                     gt_rpy=None, gt_q=None, gt_v=None,
                 ))
             frames_done = n_res
+            if args.loop_correct:
+                # Archive keyframes from the scan outputs: features for the
+                # promoted frames are re-extracted from the staged images
+                # (the scan itself carries no descriptors).
+                from vislam_tpu.backend.trajectory_opt import (
+                    keyframes_from_scan,
+                )
+
+                with timer.stage("loop.archive"):
+                    kf_archive.extend(keyframes_from_scan(
+                        inputs.images, results, cfg.frontend,
+                        frame_offset=start + 1,
+                    ))
         else:
             frames_done = None
 
@@ -389,6 +444,13 @@ def main(argv=None):
                         )
                 archive_keyframe(state, fw.index)
                 save_ckpt(state, fw.index, fw.index, last_kf_pos=last_kf_pos)
+            new_state = maybe_relocalize(eng, state, img_in, res, calib)
+            if new_state is not state:
+                state = new_state
+                if fw.gt_pos is not None:
+                    last_kf_pos = fw.gt_pos
+                res = res._replace(p_wc=state.p_wc, q_wb=state.q_wb,
+                                   is_keyframe=True)
             est_positions.append(np.asarray(res.p_wc))
             if fw.gt_pos is not None:
                 gt_positions.append(fw.gt_pos)

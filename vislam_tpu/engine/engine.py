@@ -510,6 +510,28 @@ class VIOEngine:
         """Restore the per-step key counter (= state.frame_idx) on resume."""
         self._step_counter = int(n)
 
+    def relocalize(self, state: EngineState, image, R_wc, p_wc) -> EngineState:
+        """Re-anchor tracking at a relocalized pose (backend/reloc.py).
+
+        Semantics: relocalization = restarting tracking from a known map
+        pose. The current image becomes the new first keyframe, the window
+        restarts (its old contents are pre-outage and inconsistent with the
+        corrected pose), and the calibrated IMU biases + velocity carry over.
+        """
+        img = jnp.asarray(image, jnp.float32)
+        feat = extract_features(img, self.cfg.frontend)
+        R_wc = jnp.asarray(R_wc, jnp.float32)
+        p_wc = jnp.asarray(p_wc, jnp.float32)
+        R_wb = R_wc @ jnp.asarray(self.R_bc, jnp.float32).T
+        q_wb = lie.mat_to_quat(R_wb)
+        new = init_state(
+            feat, img, q_wb, state.v_w, p_wc, R_wc,
+            bias_g=state.bias_g, bias_a=state.bias_a,
+            window_size=self.cfg.backend.window_size,
+        )
+        return new._replace(frame_idx=state.frame_idx,
+                            kf_count=state.kf_count + 1)
+
     def step(self, state: EngineState, image, imu, imu_dt,
              gt_t_norm: float = -1.0):
         """Process one frame. gt_t_norm < 0 selects IMU (VI) scale."""

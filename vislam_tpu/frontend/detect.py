@@ -209,19 +209,28 @@ def detect_keypoints(
     border: int = 12,
     levels_used: int = 1,
     detector: str = "shi_tomasi",
+    use_pallas: bool = False,
 ) -> Keypoints:
     """Detect fixed-capacity keypoints over `levels_used` pyramid levels.
 
     Returns Keypoints with K = levels_used * grid_rows * grid_cols * kp_per_cell
     rows; invalid rows (below the relative score floor) are masked out.
     Coordinates are reported in level-0 pixels.
+
+    use_pallas (shi_tomasi only) swaps the response+NMS stage for the fused
+    VMEM-resident kernel (ops/harris_kernel.py); selection stays shared.
     """
     response_fn = DETECTOR_RESPONSES[detector]
     all_uv, all_score, all_level, all_angle = [], [], [], []
     for lvl in range(levels_used):
         img = pyramid[lvl]
-        full_resp = response_fn(img)
-        resp = _nms(full_resp, nms_radius)
+        if use_pallas and detector == "shi_tomasi":
+            from vislam_tpu.ops.harris_kernel import harris_nms_pallas
+
+            resp, full_resp = harris_nms_pallas(img)
+        else:
+            full_resp = response_fn(img)
+            resp = _nms(full_resp, nms_radius)
         uv, score = _grid_topk(resp, grid_rows, grid_cols, kp_per_cell, border)
         uv = _subpixel_refine(full_resp, uv)
         angle = _orientations(img, uv)

@@ -59,6 +59,7 @@ def extract_features(image, cfg: FrontendConfig = FrontendConfig()) -> Features:
         border=cfg.patch_size // 2 + 4,
         levels_used=cfg.levels_used,
         detector=cfg.detector,
+        use_pallas=cfg.use_pallas_detector,
     )
     angle = kps.angle if cfg.oriented else jnp.zeros_like(kps.angle)
     if cfg.descriptor == "brief":

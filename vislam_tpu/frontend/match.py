@@ -76,16 +76,18 @@ def match_descriptors(
     repetitive texture and tightening the ratio statistics.
 
     use_pallas swaps the distance/top-2/reverse-argmin core for the fused
-    VMEM-resident kernel (ops/match_kernel.py); the filter chain is shared
-    (gating is not available on the pallas path yet).
+    VMEM-resident kernel (ops/match_kernel.py), including the guided-gate
+    variant; the filter chain (ratio/mutual/grid dedup) is shared.
     """
     K = desc_a.shape[0]
     gated = uv_pred is not None and uv_b is not None and gate_radius > 0.0
-    if use_pallas and not gated:
+    if use_pallas:
         from vislam_tpu.ops.match_kernel import match_top2_pallas
 
         min1, min2, arg1, colarg = match_top2_pallas(
-            desc_a, mask_a, desc_b, mask_b
+            desc_a, mask_a, desc_b, mask_b,
+            **(dict(uv_pred=uv_pred, uv_b=uv_b,
+                    gate_radius=float(gate_radius)) if gated else {}),
         )
         ok = mask_a & (min1 < _BIG * 0.5)
         ok &= min1 < (ratio * ratio) * jnp.maximum(min2, 1e-12)

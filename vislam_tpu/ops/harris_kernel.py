@@ -1,16 +1,17 @@
-"""Fused Shi-Tomasi response + NMS Pallas kernel over image tiles.
+"""Fused Shi-Tomasi response + NMS Pallas kernel, row-block tiled with halo.
 
 Role of the detector front half (reference detect path runs OpenCV's CPU/CUDA
-detectors; our jnp path is frontend/detect.py). One Pallas program per image
-tile computes Scharr gradients, the blurred structure tensor, the
-min-eigenvalue response, and 3x3 non-max suppression entirely in VMEM —
-one HBM read of the tile + halo and one write of the response, where the
-XLA path writes/reads the intermediate gradient and tensor fields.
+detectors; our jnp path is frontend/detect.py). Each grid step DMAs one
+halo-padded row block from HBM into a VMEM scratch, computes Scharr
+gradients, the blurred structure tensor, the min-eigenvalue response, and
+5x5 non-max suppression entirely in VMEM, then writes the block's response +
+NMS fields — one HBM read of the block + halo and two writes, where the XLA
+path round-trips the intermediate gradient/tensor fields through HBM.
 
-A VGA-class frame (752x480 f32 = 1.4 MB) fits VMEM whole, so the kernel is a
-single program over the halo-padded image — no tiling, no HBM round trips
-between stages. (Tiled+halo'd DMA variant becomes worthwhile only beyond
-~2 MPix frames.)
+Tiling is REQUIRED, not an optimization: the whole-frame variant needs ~20
+live (H, W) f32 temporaries = 34 MB of scoped VMEM at 480x768 — over the
+16 MB limit (measured compile OOM). 120-row blocks put the working set at
+~10 MB.
 """
 
 from __future__ import annotations
@@ -23,7 +24,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_HALO = 8  # covers scharr(1) + gaussian blur radius(3) + nms(2) chain
+_HALO = 8   # covers scharr(1) + gaussian blur radius(3) + nms(2) chain
+_BH = 120   # block rows (480 = 4 blocks; multiple of the 8-sublane tile)
 
 
 def _make_gauss(radius: int = 3, sigma: float = 1.5):
@@ -35,13 +37,21 @@ def _make_gauss(radius: int = 3, sigma: float = 1.5):
 _G = _make_gauss()
 
 
+def _roll(x, shift: int, axis: int):
+    """jnp.roll with a static zero-shift guard: Mosaic rejects the zero-size
+    slice a roll-by-0 lowers to ("vector types must have positive sizes")."""
+    if shift == 0:
+        return x
+    return jnp.roll(x, shift, axis=axis)
+
+
 def _conv1d_rows(x, k):
     """Convolve along axis 1 (lanes) with small static kernel, SAME."""
     r = len(k) // 2
     out = jnp.zeros_like(x)
     for i, kv in enumerate(k):
         shift = i - r
-        out = out + kv * jnp.roll(x, -shift, axis=1)
+        out = out + kv * _roll(x, -shift, axis=1)
     return out
 
 
@@ -50,12 +60,19 @@ def _conv1d_cols(x, k):
     out = jnp.zeros_like(x)
     for i, kv in enumerate(k):
         shift = i - r
-        out = out + kv * jnp.roll(x, -shift, axis=0)
+        out = out + kv * _roll(x, -shift, axis=0)
     return out
 
 
-def _kernel(img_ref, out_ref):
-    img = img_ref[:]
+def _kernel(img_hbm, out_ref, resp_ref, scratch, sem):
+    i = pl.program_id(0)
+    # DMA the halo-padded row block HBM -> VMEM scratch.
+    src = img_hbm.at[pl.ds(i * _BH, _BH + 2 * _HALO), :]
+    cp = pltpu.make_async_copy(src, scratch, sem)
+    cp.start()
+    cp.wait()
+    img = scratch[:]
+
     # Scharr gradients (3x3 separable: smooth [3,10,3]/16, diff [-1,0,1]/2).
     sm = (3.0 / 16.0, 10.0 / 16.0, 3.0 / 16.0)
     df = (-0.5, 0.0, 0.5)
@@ -70,41 +87,61 @@ def _kernel(img_ref, out_ref):
     half_df = 0.5 * (a - c)
     resp = half_tr - jnp.sqrt(half_df * half_df + b * b + 1e-12)
 
-    # 3x3 (radius 2 -> 5x5) NMS via shifted maxima.
+    # 5x5 (radius 2) NMS via shifted maxima.
     pooled = resp
     for dv in (-2, -1, 0, 1, 2):
         for du in (-2, -1, 0, 1, 2):
             if dv == 0 and du == 0:
                 continue
-            pooled = jnp.maximum(pooled, jnp.roll(jnp.roll(resp, dv, 0), du, 1))
+            pooled = jnp.maximum(pooled, _roll(_roll(resp, dv, 0), du, 1))
     nms = jnp.where(resp >= pooled, resp, -jnp.inf)
 
-    # Drop the halo.
-    out_ref[:] = nms[_HALO:-_HALO, _HALO:-_HALO]
+    # Drop the halo rows; both fields are needed downstream (NMS for grid
+    # top-k, raw response for subpixel refinement).
+    out_ref[:] = nms[_HALO:-_HALO, :]
+    resp_ref[:] = resp[_HALO:-_HALO, :]
 
 
 @partial(jax.jit, static_argnames=("interpret",))
 def harris_nms_pallas(img, interpret: bool = False):
-    """(H, W) image -> (H, W) NMS'd Shi-Tomasi response (-inf off-peak).
+    """(H, W) image -> (nms'd response, raw response), both (H, W).
 
-    Equivalent to detect._nms(detect.harris_response(img), radius=2) up to
-    boundary handling (the halo ring absorbs the roll wrap; image borders
-    are suppressed by the detector's border mask downstream).
+    Equivalent to (detect._nms(r, radius=2), r) for
+    r = detect.harris_response(img), up to boundary handling (the halo ring
+    absorbs the roll wrap; image borders are suppressed by the detector's
+    border mask downstream).
     """
     H, W = img.shape
-    # Pad with the halo, rounded up so the lane dim stays a multiple of 128.
+    # Pad: halo rows top/bottom (+ rounding rows so H is a block multiple),
+    # lane padding so W stays a multiple of 128. Lane halo comes free from
+    # the roll wrap-around into the padding columns.
+    ph = (-H) % _BH
     pw = (-(W + 2 * _HALO)) % 128
-    imgp = jnp.pad(img, ((_HALO, _HALO), (_HALO, _HALO + pw)))
-    out = pl.pallas_call(
+    Hb = H + ph
+    Wp = W + 2 * _HALO + pw
+    imgp = jnp.pad(img, ((_HALO, _HALO + ph), (_HALO, _HALO + pw)))
+    grid = Hb // _BH
+    out, resp = pl.pallas_call(
         _kernel,
-        out_shape=jax.ShapeDtypeStruct(
-            (H, W + pw), jnp.float32
+        grid=(grid,),
+        out_shape=(
+            jax.ShapeDtypeStruct((Hb, Wp), jnp.float32),
+            jax.ShapeDtypeStruct((Hb, Wp), jnp.float32),
         ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=(
+            pl.BlockSpec((_BH, Wp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BH, Wp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((_BH + 2 * _HALO, Wp), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
         cost_estimate=pl.CostEstimate(
-            flops=H * W * 120, bytes_accessed=H * W * 8, transcendentals=H * W,
+            flops=H * W * 120, bytes_accessed=H * W * 12, transcendentals=H * W,
         ),
         interpret=interpret,
     )(imgp)
-    return out[:H, :W]
+    return out[:H, _HALO:_HALO + W], resp[:H, _HALO:_HALO + W]

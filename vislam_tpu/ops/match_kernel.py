@@ -25,19 +25,16 @@ from jax.experimental.pallas import tpu as pltpu
 _BIG = 1e9
 
 
-def _kernel(a_ref, b_ref, ma_ref, mb_ref, min1_ref, min2_ref, arg1_ref,
-            colarg_ref):
-    a = a_ref[:]                       # (K, D)
-    b = b_ref[:]                       # (K, D)
-    ma = ma_ref[:]                     # (K, 1) float32 1/0
-    mb = mb_ref[:]                     # (K, 1)
-
+def _distances(a, b, ma, mb):
     cross = jnp.dot(a, b.T, preferred_element_type=jnp.float32)  # MXU
     sqa = jnp.sum(a * a, axis=1, keepdims=True)
     sqb = jnp.sum(b * b, axis=1, keepdims=True)
     d = jnp.maximum(sqa + sqb.T - 2.0 * cross, 0.0)
     valid = (ma * mb.T) > 0.5
-    d = jnp.where(valid, d, _BIG)
+    return jnp.where(valid, d, _BIG)
+
+
+def _reduce_top2(d, min1_ref, min2_ref, arg1_ref, colarg_ref):
 
     K = d.shape[1]
     col_ids = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
@@ -62,41 +59,75 @@ def _kernel(a_ref, b_ref, ma_ref, mb_ref, min1_ref, min2_ref, arg1_ref,
     colarg_ref[:] = colarg.T
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def match_top2_pallas(desc_a, mask_a, desc_b, mask_b, interpret: bool = False):
+def _kernel(a_ref, b_ref, ma_ref, mb_ref, min1_ref, min2_ref, arg1_ref,
+            colarg_ref):
+    d = _distances(a_ref[:], b_ref[:], ma_ref[:], mb_ref[:])
+    _reduce_top2(d, min1_ref, min2_ref, arg1_ref, colarg_ref)
+
+
+def _make_gated_kernel(gate_radius: float):
+    """Kernel variant with the guided-matching disc gate fused in: candidate
+    pairs farther than gate_radius from the IMU-rotation-predicted position
+    are excluded BEFORE the top-2 reduction (frontend/match.py gated path)."""
+    r2 = float(gate_radius) * float(gate_radius)
+
+    def kern(a_ref, b_ref, ma_ref, mb_ref, pu_ref, pv_ref, bu_ref, bv_ref,
+             min1_ref, min2_ref, arg1_ref, colarg_ref):
+        d = _distances(a_ref[:], b_ref[:], ma_ref[:], mb_ref[:])
+        du = pu_ref[:] - bu_ref[:].T          # (K,1)-(1,K) -> (K,K)
+        dv = pv_ref[:] - bv_ref[:].T
+        d = jnp.where(du * du + dv * dv <= r2, d, _BIG)
+        _reduce_top2(d, min1_ref, min2_ref, arg1_ref, colarg_ref)
+
+    return kern
+
+
+def _vmem_specs(n):
+    return [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(n)]
+
+
+@partial(jax.jit, static_argnames=("interpret", "gate_radius"))
+def match_top2_pallas(desc_a, mask_a, desc_b, mask_b, interpret: bool = False,
+                      uv_pred=None, uv_b=None, gate_radius: float = 0.0):
     """Returns (min1 (K,), min2 (K,), arg1 (K,) int32, colarg (K,) int32).
 
     colarg[j] is the best A row for B column j (the reverse-direction argmin).
+    With uv_pred/uv_b/gate_radius > 0, the guided-matching disc gate is fused
+    into the kernel (gate_radius is compile-time static — it comes from the
+    frontend config).
     """
     K, D = desc_a.shape
     ma = mask_a.astype(jnp.float32).reshape(K, 1)
     mb = mask_b.astype(jnp.float32).reshape(K, 1)
-    out = pl.pallas_call(
-        _kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((K, 1), jnp.float32),
-            jax.ShapeDtypeStruct((K, 1), jnp.float32),
-            jax.ShapeDtypeStruct((K, 1), jnp.int32),
-            jax.ShapeDtypeStruct((K, 1), jnp.int32),
-        ),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * K * K * D, bytes_accessed=2 * K * D * 4 + 4 * K * 4,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(desc_a, desc_b, ma, mb)
+    out_shape = (
+        jax.ShapeDtypeStruct((K, 1), jnp.float32),
+        jax.ShapeDtypeStruct((K, 1), jnp.float32),
+        jax.ShapeDtypeStruct((K, 1), jnp.int32),
+        jax.ShapeDtypeStruct((K, 1), jnp.int32),
+    )
+    out_specs = tuple(_vmem_specs(4))
+    cost = pl.CostEstimate(
+        flops=2 * K * K * D, bytes_accessed=2 * K * D * 4 + 4 * K * 4,
+        transcendentals=0,
+    )
+    gated = uv_pred is not None and uv_b is not None and gate_radius > 0.0
+    if gated:
+        args = (
+            desc_a, desc_b, ma, mb,
+            uv_pred[:, 0].reshape(K, 1), uv_pred[:, 1].reshape(K, 1),
+            uv_b[:, 0].reshape(K, 1), uv_b[:, 1].reshape(K, 1),
+        )
+        out = pl.pallas_call(
+            _make_gated_kernel(gate_radius),
+            out_shape=out_shape, in_specs=_vmem_specs(8),
+            out_specs=out_specs, cost_estimate=cost, interpret=interpret,
+        )(*args)
+    else:
+        out = pl.pallas_call(
+            _kernel,
+            out_shape=out_shape, in_specs=_vmem_specs(4),
+            out_specs=out_specs, cost_estimate=cost, interpret=interpret,
+        )(desc_a, desc_b, ma, mb)
     min1, min2, arg1, colarg = out
     return min1[:, 0], min2[:, 0], arg1[:, 0], colarg[:, 0]
 
