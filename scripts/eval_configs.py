@@ -130,13 +130,14 @@ def main():
         "scale_ratio_vi_ba": float(el_vb / gl),
     }
 
-    # 3. Aggressive motion (config #3 analog): report each refinement variant.
-    # Measured: photometric refinement is neutral-to-positive; ONLINE BA
-    # anchor feedback helps when odometry is noisy (vision-only mode:
-    # rotation random-walk halved) but hurts when the odometry is already
-    # strong (IMU rotation + GT scale) — the window gauge redistributes
-    # error into the live anchor. Round-2 item: newest-pose gauge /
-    # marginalization prior for the online case.
+    # 3. Aggressive motion (config #3 analog): report each refinement variant
+    # in BOTH scale modes. GT-scale (reference parity): photometric is
+    # neutral-to-positive; online BA is exactly neutral BY DESIGN — the
+    # 'ends' gauge pins the live anchor, and the anchor-refining 'oldest2'
+    # gauge was measured to diverge here (0.115 -> 1.23). The flagship
+    # GT-free VI mode is where online BA earns its compute: the 'marg'
+    # marginalization-prior gauge (default) lets the window correct the
+    # live anchor against evicted-keyframe information.
     seq3 = make_synthetic_sequence(SyntheticConfig(
         n_frames=60, n_landmarks=350, seed=1,
         trans_amp=(2.0, 1.4, 0.7), rot_amp=(0.12, 0.15, 0.3),
@@ -144,10 +145,14 @@ def main():
     r_plain = run_vio(seq3, gt_scale=True)
     r_photo = run_vio(seq3, gt_scale=True, photometric=True)
     r_ba = run_vio(seq3, gt_scale=True, ba=True)
+    r_vi_open = run_vio(seq3, gt_scale=False)
+    r_vi_ba = run_vio(seq3, gt_scale=False, vi_ba=True)
     results["3_aggressive"] = {
         "ate_plain": ate_rmse(r_plain["poses"], r_plain["gt"], align=False),
         "ate_photometric": ate_rmse(r_photo["poses"], r_photo["gt"], align=False),
         "ate_online_ba": ate_rmse(r_ba["poses"], r_ba["gt"], align=False),
+        "ate_vi_open_loop": ate_rmse(r_vi_open["poses"], r_vi_open["gt"], align=False),
+        "ate_vi_online_ba_marg": ate_rmse(r_vi_ba["poses"], r_vi_ba["gt"], align=False),
     }
 
     # 4. Loop trajectory + pose-graph correction (config #4 analog).
@@ -210,10 +215,17 @@ def main():
         )
         r3 = results["3_aggressive"]
         fh.write(
-            f"| 3 | aggressive motion: plain / +photometric / +online-BA | "
-            f"ATE {r3['ate_plain']:.3f} / {r3['ate_photometric']:.3f} / "
-            f"{r3['ate_online_ba']:.3f} m ('ends' gauge: online BA is exactly "
-            f"neutral here; 'oldest2' gauge helps noisy vision-only odometry) |\n"
+            f"| 3 | aggressive motion, GT scale: plain / +photometric / "
+            f"+online-BA | ATE {r3['ate_plain']:.3f} / "
+            f"{r3['ate_photometric']:.3f} / {r3['ate_online_ba']:.3f} m "
+            f"(GT-scale online BA neutral by design: gauge pins the anchor; "
+            f"anchor-refining gauge measured 0.115→1.23 here) |\n"
+        )
+        fh.write(
+            f"| 3b | aggressive motion, IMU (GT-free) scale: open-loop / "
+            f"+online VI-BA (marg gauge, default) | ATE "
+            f"{r3['ate_vi_open_loop']:.3f} -> "
+            f"{r3['ate_vi_online_ba_marg']:.3f} m |\n"
         )
         r4 = results["4_loop_correction"]
         fh.write(f"| 4 | loop closure + pose graph | {r4['n_loops']} loops; max kf err {r4['kf_maxerr_before']:.3f} -> {r4['kf_maxerr_after']:.3f} m |\n")

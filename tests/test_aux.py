@@ -160,3 +160,24 @@ def test_viz_plots(tmp_path):
     p3 = str(tmp_path / "matches.png")
     draw_matches(img, uv, img, uv + 2, np.ones(30, bool), p3)
     assert os.path.getsize(p3) > 10000
+
+
+def test_live_viz_snapshots(tmp_path):
+    """LiveViz re-renders atomically every N keyframes and on close."""
+    from vislam_tpu.viz import LiveViz
+
+    import numpy as np
+
+    lv = LiveViz(str(tmp_path / "run"), every_kf=2)
+    rng = np.random.default_rng(0)
+    p = np.zeros(3)
+    for j in range(10):
+        p = p + rng.normal(0, 0.1, 3)
+        lv.update(j, p, p + 0.01, is_keyframe=(j % 2 == 0))
+    out = lv.close()
+    assert out is not None
+    import os
+
+    assert os.path.exists(out)
+    assert lv._renders >= 3  # periodic renders happened, not just close()
+    assert not os.path.exists(str(tmp_path / "run") + "_live.tmp.png")

@@ -65,6 +65,11 @@ def main(argv=None):
                          "correction after the run")
     ap.add_argument("--plot", default=None,
                     help="write trajectory/state plots with this path prefix")
+    ap.add_argument("--live-viz", default=None, metavar="PREFIX",
+                    help="live observability: atomically rewrite "
+                         "PREFIX_live.png (trajectory-so-far snapshot) every "
+                         "few keyframes during the run (role of the "
+                         "reference's RViz publishers, middleware-free)")
     ap.add_argument("--detector", default="shi_tomasi",
                     choices=["shi_tomasi", "harris", "dog", "hessian", "fast"],
                     help="corner/blob response family (role of the reference "
@@ -175,6 +180,12 @@ def main(argv=None):
             kp_mask=np.asarray(state.kf_feat.mask),
         ))
 
+    live = None
+    if args.live_viz:
+        from vislam_tpu.viz import LiveViz
+
+        live = LiveViz(args.live_viz)
+
     outage = {"n": 0}
 
     def maybe_relocalize(eng, state, image, res, calib):
@@ -267,6 +278,9 @@ def main(argv=None):
                                    is_keyframe=True)
             est_positions.append(np.asarray(res.p_wc))
             gt_positions.append(seq["gt_pos"][j])
+            if live is not None:
+                live.update(j, res.p_wc, seq["gt_pos"][j],
+                            bool(res.is_keyframe))
             rows.append(dict(
                 frame=j, t_ns=int(seq["t_cam_ns"][j]), is_kf=bool(res.is_keyframe),
                 est_p=np.asarray(res.p_wc),
@@ -454,6 +468,9 @@ def main(argv=None):
             est_positions.append(np.asarray(res.p_wc))
             if fw.gt_pos is not None:
                 gt_positions.append(fw.gt_pos)
+            if live is not None:
+                live.update(fw.index, res.p_wc, fw.gt_pos,
+                            bool(res.is_keyframe))
             rows.append(dict(
                 frame=fw.index, t_ns=fw.t_ns, is_kf=bool(res.is_keyframe),
                 est_p=np.asarray(res.p_wc),
@@ -486,6 +503,10 @@ def main(argv=None):
                 if i is not None:
                     r["est_p"] = p_corr[i]
 
+    if live is not None:
+        out_png = live.close()
+        if out_png:
+            print(f"live snapshot: {out_png}")
     write_trajectory_csv(args.output, rows)
     n = len(rows)
     print(f"processed {n} frames in {wall:.2f}s ({n / max(wall, 1e-9):.1f} fps)")

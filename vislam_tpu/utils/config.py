@@ -70,11 +70,16 @@ class FrontendConfig:
     guided_gate_px: float = 0.0    # >0: guided matching — exclude candidate
                                    # pairs farther than this from the
                                    # IMU-rotation-predicted position.
-                                   # Suppresses repetitive-texture mismatches
-                                   # but also discards large-parallax matches
-                                   # (the most translation-informative ones):
-                                   # set comfortably above max expected
-                                   # parallax, or leave 0 (off).
+                                   # Measured both ways (round 2): on
+                                   # repetitive texture it is decisive
+                                   # (MATCHABILITY.md: 70.6% -> 81.8% inlier
+                                   # rate at 2.2x the matches, beating
+                                   # OpenCV SIFT), but as a DEFAULT it costs
+                                   # accuracy on well-textured scenes by
+                                   # discarding large-parallax matches (the
+                                   # most translation-informative ones):
+                                   # oracle cfg1 ATE 0.176 -> 0.271 at 60 px.
+                                   # Per-scene opt-in, 25-60 px typical.
     max_matches: int = 512
     match_cell_rows: int = 7       # reference grid filter ~ sqrt(49) (Matcher.cpp:171-244)
     match_cell_cols: int = 7
