@@ -106,3 +106,37 @@ def test_trajectory_csv_roundtrip(tmp_path, vio_run):
     np.testing.assert_allclose(back["est_p"], np.stack([r["est_p"] for r in rows]), rtol=1e-6)
     np.testing.assert_allclose(back["gt_q"], np.stack([r["gt_q"] for r in rows]), rtol=1e-6)
     assert back["is_kf"].sum() == sum(bool(r.is_keyframe) for r in results)
+
+
+def test_engine_multiscale_shapes():
+    """levels_used=2 (multi-scale detection) must run the full engine step
+    with consistent shapes (K doubles per level budget; opt-in config)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from vislam_tpu.data import SyntheticConfig, make_synthetic_sequence
+    from vislam_tpu.engine import VIOEngine
+    from vislam_tpu.utils.config import SystemConfig
+
+    seq = make_synthetic_sequence(SyntheticConfig(n_frames=4, n_landmarks=200, seed=0))
+    c = SystemConfig()
+    cfg = dataclasses.replace(c, frontend=dataclasses.replace(
+        c.frontend, levels_used=2, kp_per_cell=4))
+    eng = VIOEngine(seq["calib"], cfg)
+    state = eng.initialize(
+        seq["images"][0], q_wb0=seq["gt_quat"][0],
+        v_w0=seq["gt_vel"][0], p_w0=seq["gt_pos"][0],
+    )
+    assert state.kf_feat.uv.shape[0] == cfg.frontend.max_keypoints == 512
+    import numpy as np
+
+    imu = np.zeros((16, 6), np.float32)
+    imu[:10] = np.concatenate([seq["imu_gyro"][:10], seq["imu_accel"][:10]], -1)
+    dt = np.zeros(16, np.float32)
+    dt[:10] = 1 / 200.0
+    state, res = eng.step(state, seq["images"][1], imu, dt, 0.05)
+    assert np.isfinite(np.asarray(res.p_wc)).all()
+    assert int(res.num_matches) > 30
+    # Both levels contributed detections.
+    lv = np.asarray(state.kf_feat.level) if hasattr(state.kf_feat, "level") else None

@@ -63,6 +63,10 @@ def main(argv=None):
     ap.add_argument("--loop-correct", action="store_true",
                     help="offline loop-closure detection + pose-graph "
                          "correction after the run")
+    ap.add_argument("--loop-sim3", action="store_true",
+                    help="use a 7-DoF Sim(3) pose graph for --loop-correct "
+                         "(distributes monocular scale drift along the "
+                         "trajectory; for --imu-scale / vision-only runs)")
     ap.add_argument("--plot", default=None,
                     help="write trajectory/state plots with this path prefix")
     ap.add_argument("--live-viz", default=None, metavar="PREFIX",
@@ -492,7 +496,8 @@ def main(argv=None):
 
         with timer.stage("loop.correct"):
             p_corr, R_corr, info = correct_trajectory(
-                kf_archive, calib.fx, calib.fy, calib.cx, calib.cy
+                kf_archive, calib.fx, calib.fy, calib.cx, calib.cy,
+                use_sim3=args.loop_sim3,
             )
         print(f"loop closures: {info['loops']}")
         if info["loops"]:

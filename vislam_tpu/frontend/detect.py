@@ -196,7 +196,8 @@ def _orientations(img, uv, sigma: float = 2.5):
     gx, gy = scharr_gradients(gaussian_blur(img, sigma))
     u = jnp.clip(uv[:, 0].astype(jnp.int32), 0, img.shape[1] - 1)
     v = jnp.clip(uv[:, 1].astype(jnp.int32), 0, img.shape[0] - 1)
-    return jnp.arctan2(gy[v, u], gx[v, u])
+    return jnp.arctan2(gy[v, u].astype(jnp.float32),
+                       gx[v, u].astype(jnp.float32))
 
 
 def detect_keypoints(
@@ -227,9 +228,11 @@ def detect_keypoints(
         if use_pallas and detector == "shi_tomasi":
             from vislam_tpu.ops.harris_kernel import harris_nms_pallas
 
-            resp, full_resp = harris_nms_pallas(img)
+            resp, full_resp = harris_nms_pallas(img.astype(jnp.float32))
         else:
-            full_resp = response_fn(img)
+            # Response in the pyramid's dtype (bf16 fast path); selection,
+            # NMS ordering, and subpixel refinement in float32.
+            full_resp = response_fn(img).astype(jnp.float32)
             resp = _nms(full_resp, nms_radius)
         uv, score = _grid_topk(resp, grid_rows, grid_cols, kp_per_cell, border)
         uv = _subpixel_refine(full_resp, uv)

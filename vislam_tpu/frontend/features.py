@@ -43,6 +43,10 @@ def extract_features(image, cfg: FrontendConfig = FrontendConfig()) -> Features:
     the role of the reference's multi-scale SURF/KAZE detectors); uv is
     always reported in level-0 pixels.
     """
+    # Image-plane ops (pyramid + detection responses) run in cfg.image_dtype
+    # (bf16 default: 2.5x VPU/bandwidth win, BENCH_NOTES round 2); keypoint
+    # selection, subpixel refinement, and descriptors run in float32.
+    image = image.astype(jnp.dtype(cfg.image_dtype))
     if cfg.scale_space == "nonlinear":
         from vislam_tpu.frontend.nonlinear import nonlinear_scale_space
 
@@ -72,7 +76,8 @@ def extract_features(image, cfg: FrontendConfig = FrontendConfig()) -> Features:
         sl = slice(lvl * K_per_level, (lvl + 1) * K_per_level)
         scale = float(2 ** lvl)
         descs.append(
-            _describe(pyr[lvl], kps.uv[sl] / scale, angle[sl])
+            _describe(pyr[lvl].astype(jnp.float32), kps.uv[sl] / scale,
+                      angle[sl])
         )
     desc = jnp.concatenate(descs, axis=0)
     return Features(

@@ -29,6 +29,13 @@ class FrontendConfig:
     #   shi_tomasi (GFTT) | harris | dog (SIFT/KAZE-like blobs) |
     #   hessian (SURF-like blobs) | fast (ORB-like segment test)
     detector: str = "shi_tomasi"
+    # Dtype for the image-plane pipeline (pyramid + response convolutions) —
+    # the VPU/bandwidth-bound bulk of the frame step. bfloat16 measured 2.5x
+    # faster than float32 on the v5e (1.22 -> 0.48 us/frame for the
+    # gradient+structure-tensor+blur chain) with ATE/matchability neutral
+    # (selection, subpixel refinement, descriptors and all geometry stay
+    # float32). See BENCH_NOTES round 2.
+    image_dtype: str = "bfloat16"
     # Scale space the pyramid levels come from:
     #   gaussian  — 2x2-mean pyramid (SIFT/SURF/ORB-family)
     #   nonlinear — Perona-Malik FED diffusion octaves (KAZE/AKAZE-family;
