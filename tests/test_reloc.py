@@ -193,3 +193,33 @@ def test_keyframes_from_scan_archive():
         recs, calib.fx, calib.fy, calib.cx, calib.cy)
     assert p_corr.shape == (len(recs), 3)
     assert np.isfinite(p_corr).all()
+
+
+def test_relocalize_recovers_nonfinite_state():
+    """Divergence recovery: relocalize must produce a fully finite state even
+    when the carried-over velocity/bias went NaN (the CLI's maybe_recover
+    guard re-anchors through this path)."""
+    import jax
+
+    seq = make_synthetic_sequence(
+        SyntheticConfig(n_frames=6, n_landmarks=200, seed=0))
+    eng = VIOEngine(seq["calib"])
+    state = eng.initialize(
+        seq["images"][0], q_wb0=seq["gt_quat"][0],
+        v_w0=seq["gt_vel"][0], p_w0=seq["gt_pos"][0],
+    )
+    bad = jnp.full(3, jnp.nan)
+    state = state._replace(v_w=bad, bias_g=bad, bias_a=bad,
+                           p_wc=bad, kf_p_wc=bad)
+    from scipy.spatial.transform import Rotation as Rsp
+
+    R_wc = Rsp.from_quat(np.roll(seq["gt_quat"][2], -1)).as_matrix()
+    state2 = eng.relocalize(state, seq["images"][2], R_wc, seq["gt_pos"][2])
+    for leaf in jax.tree.leaves(state2):
+        assert np.isfinite(np.asarray(leaf, np.float64)).all() if \
+            np.issubdtype(np.asarray(leaf).dtype, np.floating) else True
+    imu = np.zeros((16, 6), np.float32)
+    dt = np.zeros(16, np.float32)
+    dt[:10] = 1 / 200.0
+    state3, res = eng.step(state2, seq["images"][3], imu, dt, 0.05)
+    assert np.isfinite(np.asarray(res.p_wc)).all()

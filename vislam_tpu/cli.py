@@ -191,6 +191,27 @@ def main(argv=None):
         live = LiveViz(args.live_viz)
 
     outage = {"n": 0}
+    last_good = {"R": None, "p": None}
+
+    def maybe_recover(eng, state, image, res, frame_index):
+        """Divergence guard: a non-finite pose re-anchors tracking at the
+        last finite pose (relocalize restarts the window and sanitizes
+        velocity/biases). Failure-recovery the reference lacks entirely
+        (it exit()s on bad input, never on bad numerics)."""
+        p = np.asarray(res.p_wc)
+        if np.isfinite(p).all():
+            last_good["R"] = np.asarray(res.R_wc) if hasattr(res, "R_wc") \
+                else np.asarray(state.R_wc)
+            last_good["p"] = p
+            return state, res
+        if last_good["p"] is None:
+            return state, res
+        print(f"divergence at frame {frame_index}: non-finite pose; "
+              f"re-anchoring at last good pose")
+        state = eng.relocalize(state, image, last_good["R"], last_good["p"])
+        res = res._replace(p_wc=state.p_wc, q_wb=state.q_wb,
+                           is_keyframe=True)
+        return state, res
 
     def maybe_relocalize(eng, state, image, res, calib):
         """After >=3 consecutive low-match frames, try snapping back onto the
@@ -274,6 +295,7 @@ def main(argv=None):
                         )
                 archive_keyframe(state, j)
                 save_ckpt(state, j, last_kf)
+            state, res = maybe_recover(eng, state, seq["images"][j], res, j)
             new_state = maybe_relocalize(eng, state, seq["images"][j], res, calib)
             if new_state is not state:
                 state = new_state
@@ -462,6 +484,7 @@ def main(argv=None):
                         )
                 archive_keyframe(state, fw.index)
                 save_ckpt(state, fw.index, fw.index, last_kf_pos=last_kf_pos)
+            state, res = maybe_recover(eng, state, img_in, res, fw.index)
             new_state = maybe_relocalize(eng, state, img_in, res, calib)
             if new_state is not state:
                 state = new_state

@@ -524,9 +524,15 @@ class VIOEngine:
         p_wc = jnp.asarray(p_wc, jnp.float32)
         R_wb = R_wc @ jnp.asarray(self.R_bc, jnp.float32).T
         q_wb = lie.mat_to_quat(R_wb)
+        # Sanitize the carried-over dynamics: relocalize is also the
+        # divergence-recovery path, where velocity/bias may be the very
+        # thing that went non-finite.
+        v_w = jnp.where(jnp.isfinite(state.v_w), state.v_w, 0.0)
+        bias_g = jnp.where(jnp.isfinite(state.bias_g), state.bias_g, 0.0)
+        bias_a = jnp.where(jnp.isfinite(state.bias_a), state.bias_a, 0.0)
         new = init_state(
-            feat, img, q_wb, state.v_w, p_wc, R_wc,
-            bias_g=state.bias_g, bias_a=state.bias_a,
+            feat, img, q_wb, v_w, p_wc, R_wc,
+            bias_g=bias_g, bias_a=bias_a,
             window_size=self.cfg.backend.window_size,
         )
         return new._replace(frame_idx=state.frame_idx,
