@@ -210,7 +210,12 @@ class EngineConfig:
                                       # static flag -> separate compiled step
     photometric_refine: bool = False  # refine the two-view pose by direct
                                       # coarse-to-fine intensity alignment
-                                      # after the epipolar solve
+                                      # after the epipolar solve. Opt-in by
+                                      # measurement: helps aggressive motion
+                                      # (EVAL #3: 0.115 -> 0.101) but hurts
+                                      # gentle runs (cfg1 0.179 -> 0.205,
+                                      # VI 0.387 -> 0.416) where the epipolar
+                                      # solve is already at the noise floor.
     imu_window: int = 16              # padded IMU samples per frame (EUROC: 16)
     gravity: float = 9.81             # reference uses 9.68 (src/Imu.cpp:337); see SURVEY §7
     max_velocity: float = 30.0        # m/s sanity clamp (divergence guard)
