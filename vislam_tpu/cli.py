@@ -54,6 +54,13 @@ def main(argv=None):
                     help="relocalize against the keyframe archive after a "
                          "visual outage (host-loop modes): place recognition "
                          "+ PnP snap the drifted pose back onto the map")
+    ap.add_argument("--save-map", default=None, metavar="PATH.npz",
+                    help="save the keyframe archive (map) after the run "
+                         "for later --load-map sessions")
+    ap.add_argument("--load-map", default=None, metavar="PATH.npz",
+                    help="preload a saved keyframe map: --reloc localizes "
+                         "against it from frame one (map reuse) and "
+                         "--loop-correct sees its keyframes too")
     ap.add_argument("--ba", action="store_true",
                     help="run sliding-window bundle adjustment on each keyframe")
     ap.add_argument("--vi-ba", action="store_true",
@@ -171,8 +178,14 @@ def main(argv=None):
         print(f"resumed from {args.checkpoint} at frame {fidx}")
         return state, fidx, meta
 
+    if args.load_map:
+        from vislam_tpu.backend.mapio import load_map
+
+        kf_archive.extend(load_map(args.load_map))
+        print(f"loaded map: {len(kf_archive)} keyframes from {args.load_map}")
+
     def archive_keyframe(state, frame_index):
-        if not (args.loop_correct or args.reloc):
+        if not (args.loop_correct or args.reloc or args.save_map):
             return
         from vislam_tpu.backend.trajectory_opt import KeyframeRecord
 
@@ -535,6 +548,11 @@ def main(argv=None):
         out_png = live.close()
         if out_png:
             print(f"live snapshot: {out_png}")
+    if args.save_map and kf_archive:
+        from vislam_tpu.backend.mapio import save_map
+
+        save_map(args.save_map, kf_archive)
+        print(f"map saved: {len(kf_archive)} keyframes to {args.save_map}")
     write_trajectory_csv(args.output, rows)
     n = len(rows)
     print(f"processed {n} frames in {wall:.2f}s ({n / max(wall, 1e-9):.1f} fps)")
