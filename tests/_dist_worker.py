@@ -59,6 +59,47 @@ def main():
     s_dist, info = dist_bundle_adjust(
         st_sh, pr_sh, mesh, axis=("host", "map"), iters=8)
 
+    # --- Phase 2: multi-host batch VIO with per-process dataset staging.
+    # Each process stages only ITS sequence range (process_shard_range);
+    # the global batch is assembled from process-local shards.
+    import jax.numpy as jnp
+
+    from vislam_tpu.data.synthetic import SyntheticConfig, make_synthetic_sequence
+    from vislam_tpu.data.synthetic import synthetic_calib
+    from vislam_tpu.engine import VIOEngine, make_sequence_inputs
+    from vislam_tpu.parallel.batch_runner import run_batch_sharded
+    from vislam_tpu.parallel.mesh import process_shard_range
+
+    B_global, n_frames = 8, 3
+    calib = synthetic_calib(160, 120)
+    lo, hi = process_shard_range(B_global)
+    seqs = [make_synthetic_sequence(
+        SyntheticConfig(n_frames=n_frames, n_landmarks=80, seed=s), calib)
+        for s in range(lo, hi)]
+    eng = VIOEngine(seqs[0]["calib"])
+    states = jax.tree.map(
+        lambda *xs: jnp.stack([np.asarray(x) for x in xs]),
+        *[eng.initialize(q["images"][0], q_wb0=q["gt_quat"][0]) for q in seqs],
+    )
+    # Host numpy trees for process-local staging.
+    states = jax.tree.map(lambda x: np.asarray(x), states)
+    inps = [make_sequence_inputs(q) for q in seqs]
+    inputs = jax.tree.map(
+        lambda *xs: np.stack([np.asarray(x) for x in xs])
+        if np.asarray(xs[0]).ndim > 0 else np.asarray(xs[0]), *inps)
+    kf0 = np.stack([np.asarray(q["gt_pos"][0], np.float32) for q in seqs])
+    mesh_seq = make_global_mesh(("seq",))
+    fstates, res = run_batch_sharded(
+        eng, states, inputs, kf0, mesh_seq, axis="seq", process_local=True)
+    jax.block_until_ready(res.p_wc)
+    # Read back only the addressable (this host's) shard rows.
+    local_rows = {}
+    for sh in res.p_wc.addressable_shards:
+        b0 = sh.index[0].start or 0
+        arr = np.asarray(sh.data)
+        for k in range(arr.shape[0]):
+            local_rows[str(b0 + k)] = arr[k].tolist()
+
     with open(out_path, "w") as f:
         json.dump({
             "process_id": pid,
@@ -67,9 +108,11 @@ def main():
             "final_cost": float(info["final_cost"]),
             "R": np.asarray(s_dist.R).tolist(),
             "t": np.asarray(s_dist.t).tolist(),
+            "batch_rows": local_rows,
+            "batch_span": [lo, hi],
         }, f)
-    print(f"[worker {pid}] final_cost={float(info['final_cost']):.6f}",
-          flush=True)
+    print(f"[worker {pid}] final_cost={float(info['final_cost']):.6f} "
+          f"batch rows {sorted(local_rows)}", flush=True)
 
 
 if __name__ == "__main__":

@@ -48,6 +48,38 @@ def _single_process_reference():
     return np.asarray(s.R), np.asarray(s.t), float(info["final_cost"])
 
 
+def _single_process_batch_reference():
+    """The worker's phase-2 batch (8 sequences) run single-process on the
+    test's own 8-device virtual mesh."""
+    import jax
+    import jax.numpy as jnp
+
+    from vislam_tpu.data.synthetic import (
+        SyntheticConfig, make_synthetic_sequence, synthetic_calib,
+    )
+    from vislam_tpu.engine import VIOEngine, make_sequence_inputs
+    from vislam_tpu.parallel import make_mesh
+    from vislam_tpu.parallel.batch_runner import run_batch_sharded
+
+    calib = synthetic_calib(160, 120)
+    seqs = [make_synthetic_sequence(
+        SyntheticConfig(n_frames=3, n_landmarks=80, seed=s), calib)
+        for s in range(8)]
+    eng = VIOEngine(seqs[0]["calib"])
+    states = jax.tree.map(
+        lambda *xs: jnp.stack([np.asarray(x) for x in xs]),
+        *[eng.initialize(q["images"][0], q_wb0=q["gt_quat"][0]) for q in seqs],
+    )
+    inps = [make_sequence_inputs(q) for q in seqs]
+    inputs = jax.tree.map(
+        lambda *xs: np.stack([np.asarray(x) for x in xs])
+        if np.asarray(xs[0]).ndim > 0 else np.asarray(xs[0]), *inps)
+    kf0 = np.stack([np.asarray(q["gt_pos"][0], np.float32) for q in seqs])
+    mesh = make_mesh(8, axis_names=("seq",))
+    _, res = run_batch_sharded(eng, states, inputs, kf0, mesh, axis="seq")
+    return np.asarray(res.p_wc)  # (8, 2, 3)
+
+
 def test_two_process_dist_ba_matches_single(tmp_path):
     port = _free_port()
     outs = [tmp_path / f"out{i}.json" for i in range(2)]
@@ -88,6 +120,20 @@ def test_two_process_dist_ba_matches_single(tmp_path):
     np.testing.assert_allclose(np.array(results[0]["R"]), R_ref, atol=1e-4)
     np.testing.assert_allclose(np.array(results[0]["t"]), t_ref, atol=1e-3)
     assert results[0]["final_cost"] < results[0]["initial_cost"]
+
+    # Phase 2: multi-host batch VIO with per-process dataset staging —
+    # the union of both hosts' local result shards must cover the global
+    # batch and match a single-process run of the same 8 sequences.
+    spans = sorted(tuple(r["batch_span"]) for r in results)
+    assert spans == [(0, 4), (4, 8)]
+    rows = {}
+    for r in results:
+        rows.update({int(k): np.array(v) for k, v in r["batch_rows"].items()})
+    assert sorted(rows) == list(range(8))
+    ref = _single_process_batch_reference()
+    for b in range(8):
+        np.testing.assert_allclose(rows[b], ref[b], atol=1e-4,
+                                   err_msg=f"sequence {b}")
 
 
 def test_process_shard_range():

@@ -18,7 +18,7 @@ runs over the TPU frontend and the OpenCV reference algorithmics
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

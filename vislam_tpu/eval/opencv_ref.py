@@ -18,7 +18,7 @@ Host-side only (numpy + cv2); never imported by the compute path.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import numpy as np
 

@@ -90,6 +90,10 @@ def make_global_mesh(
     n_proc = jax.process_count()
     devs = jax.devices()  # globally ordered by process index
     local = len(devs) // n_proc
+    if len(axis_names) == 1:
+        # Flat global mesh: one axis over every device of every process
+        # (still process-contiguous, so shards stay host-local by range).
+        return Mesh(np.array(devs), (axis_names[0],))
     if local_axis_shape is None:
         local_axis_shape = (local,) if len(axis_names) == 2 else None
     if local_axis_shape is None or int(np.prod(local_axis_shape)) != local:
