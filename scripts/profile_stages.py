@@ -1,9 +1,12 @@
 """Per-stage device timing of the VIO step's components (run on real TPU).
 
-Identifies where the milliseconds go: detection, description, matching,
-RANSAC, inertial scan. Each stage is jitted separately and timed with
-block_until_ready over many reps (dispatch overhead amortized by looping
-inside where possible).
+Identifies where the microseconds go: detection, description, matching,
+RANSAC, inertial scan. Methodology (see CLAUDE.md rule 7): each stage runs
+ITERS serial iterations inside ONE dispatch (lax.scan with a serializing
+carry), all data passed as arguments, minimum over reps reported — the axon
+tunnel's per-dispatch latency (0.05-15 ms, heavy-tailed, with a pathological
+slow mode) otherwise swamps stages that really cost single-digit
+microseconds.
 """
 
 import os
@@ -14,10 +17,14 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+ITERS = 64
+
 
 def main():
     import jax
     import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
     from vislam_tpu.data.synthetic import SyntheticConfig, make_synthetic_sequence
     from vislam_tpu.frontend.pyramid import build_pyramid
@@ -29,57 +36,76 @@ def main():
     from vislam_tpu.inertial import madgwick_scan, preintegrate
     from vislam_tpu.utils.config import FrontendConfig
 
+    print("backend:", jax.devices()[0].platform, flush=True)
     seq = make_synthetic_sequence(SyntheticConfig(n_frames=4, n_landmarks=300, seed=0))
     img = jnp.asarray(seq["images"][1], jnp.float32)
     cfg = FrontendConfig()
 
-    def timeit(name, fn, *args, reps=30):
-        out = fn(*args)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
+    def timeit(name, stage_fn, *args, reps=7):
+        """stage_fn(*args) -> scalar proxy; scanned ITERS times serially by
+        folding the proxy back into the first (array) argument."""
+
+        def loop(a0, *rest):
+            def body(c, _):
+                r = stage_fn(c, *rest)
+                return c + jnp.asarray(1e-9 * r, c.dtype), r
+            return jax.lax.scan(body, a0, None, length=ITERS)
+
+        fn = jax.jit(loop)
+        jax.block_until_ready(fn(*args))
+        ts = []
         for _ in range(reps):
-            out = fn(*args)
-        jax.block_until_ready(out)
-        ms = (time.perf_counter() - t0) / reps * 1000
-        print(f"{name:<28} {ms:8.2f} ms")
-        return out
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(*args))
+            ts.append((time.perf_counter() - t0) / ITERS)
+        print(f"{name:<30} {min(ts) * 1e6:8.2f} us  (med {np.median(ts) * 1e6:8.2f})",
+              flush=True)
 
-    pyr_fn = jax.jit(lambda im: build_pyramid(im, 4))
-    pyr = timeit("pyramid", pyr_fn, img)
+    # Stages, each reduced to a scalar that depends on the full computation.
+    fcfg_bf16 = cfg
 
-    det_fn = jax.jit(lambda p: detect_keypoints(p, min_score_rel=cfg.min_score))
-    kps = timeit("detect (harris+nms+topk)", det_fn, pyr)
+    timeit("pyramid (4 lvls)",
+           lambda im: build_pyramid(im.astype(jnp.dtype(cfg.image_dtype)), 4)[3].sum().astype(jnp.float32),
+           img)
+    timeit("detect (resp+nms+topk)",
+           lambda im: detect_keypoints(
+               build_pyramid(im.astype(jnp.dtype(cfg.image_dtype)), 4),
+               min_score_rel=cfg.min_score).score.sum(),
+           img)
+    timeit("extract (full, bf16 path)",
+           lambda im: (lambda f: f.score.sum() + f.desc.sum())(
+               extract_features(im, fcfg_bf16)),
+           img)
 
-    desc_fn = jax.jit(lambda im, uv, a: describe_keypoints(im, uv, a * 0))
-    desc = timeit("describe (gather+einsum)", desc_fn, pyr[0], kps.uv, kps.angle)
+    fa = extract_features(img, cfg)
+    fb = extract_features(jnp.asarray(seq["images"][2], jnp.float32), cfg)
+    timeit("describe (512 x SIFT-128)",
+           lambda im, uv, a: describe_keypoints(im, uv, a * 0).sum(),
+           img, fa.uv, fa.angle)
+    timeit("match (MXU+top2+filters)",
+           lambda da, ma, db, mb: match_descriptors(da, ma, db, mb, ratio=0.8).dist.sum(),
+           fa.desc, fa.mask, fb.desc, fb.mask)
 
-    feat_fn = jax.jit(lambda im: extract_features(im, cfg))
-    fa = timeit("extract_features (fused)", feat_fn, img)
-    fb = feat_fn(jnp.asarray(seq["images"][2], jnp.float32))
-
-    match_fn = jax.jit(
-        lambda da, ma, db, mb: match_descriptors(da, ma, db, mb, ratio=0.8)
-    )
-    m = timeit("match (MXU+top2)", match_fn, fa.desc, fa.mask, fb.desc, fb.mask)
-
-    rays_a = jnp.concatenate([fa.uv, jnp.ones((fa.uv.shape[0], 1))], -1)
-    rays_a = rays_a / jnp.linalg.norm(rays_a, axis=-1, keepdims=True)
-    rays_b = rays_a
-
-    rans_fn = jax.jit(
-        lambda ra, rb, mask, key: ransac_translation(
-            ra, rb, jnp.eye(3), mask, key, num_hyps=512, thresh=0.02
-        )
-    )
-    timeit("ransac (512 hyps)", rans_fn, rays_a, rays_b, m.mask, jax.random.PRNGKey(0))
+    m = match_descriptors(fa.desc, fa.mask, fb.desc, fb.mask, ratio=0.8)
+    rays = jnp.concatenate([fa.uv, jnp.ones((fa.uv.shape[0], 1))], -1)
+    rays = rays / jnp.linalg.norm(rays, axis=-1, keepdims=True)
+    key = jax.random.PRNGKey(0)
+    timeit("ransac (512 hyps)",
+           lambda ra, rb, mask, k: ransac_translation(
+               ra, rb, jnp.eye(3), mask, k, num_hyps=512, thresh=0.02
+           )[0].sum(),
+           rays, rays, m.mask, key)
 
     imu = jnp.zeros((16, 6))
     dt = jnp.full((16,), 0.005)
     q0 = jnp.array([1.0, 0, 0, 0])
-    mad_fn = jax.jit(lambda q, i, d: madgwick_scan(q, i[:, :3], i[:, 3:], d))
-    timeit("madgwick scan (16)", mad_fn, q0, imu, dt)
-    pre_fn = jax.jit(lambda i, d: preintegrate(i[:, :3], i[:, 3:], d))
-    timeit("preintegrate (16)", pre_fn, imu, dt)
+    timeit("madgwick scan (16)",
+           lambda q, i, d: madgwick_scan(q, i[:, :3], i[:, 3:], d)[0].sum(),
+           q0, imu, dt)
+    timeit("preintegrate (16)",
+           lambda i, d: preintegrate(i[:, :3], i[:, 3:], d,
+                                     jnp.zeros(3), jnp.zeros(3)).dp.sum(),
+           imu, dt)
 
 
 if __name__ == "__main__":

@@ -181,3 +181,27 @@ def test_live_viz_snapshots(tmp_path):
     assert os.path.exists(out)
     assert lv._renders >= 3  # periodic renders happened, not just close()
     assert not os.path.exists(str(tmp_path / "run") + "_live.tmp.png")
+
+
+def test_tum_trajectory_roundtrip(tmp_path):
+    """TUM-format writer/reader round-trip (evo-toolchain interchange)."""
+    import numpy as np
+
+    from vislam_tpu.eval import read_trajectory_tum, write_trajectory_tum
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for j in range(5):
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        rows.append(dict(t_ns=int(1e12 + j * 5e7), est_p=rng.normal(size=3),
+                         est_q=q))
+    path = str(tmp_path / "traj_tum.txt")
+    write_trajectory_tum(path, rows)
+    out = read_trajectory_tum(path)
+    assert out["p"].shape == (5, 3)
+    np.testing.assert_allclose(
+        out["p"], np.stack([r["est_p"] for r in rows]), rtol=1e-12)
+    np.testing.assert_allclose(
+        out["q_wxyz"], np.stack([r["est_q"] for r in rows]), rtol=1e-12)
+    np.testing.assert_allclose(out["t"][1] - out["t"][0], 0.05, atol=1e-9)

@@ -54,6 +54,10 @@ def main(argv=None):
                     help="relocalize against the keyframe archive after a "
                          "visual outage (host-loop modes): place recognition "
                          "+ PnP snap the drifted pose back onto the map")
+    ap.add_argument("--output-tum", default=None, metavar="PATH.txt",
+                    help="also write the trajectory in TUM format "
+                         "(timestamp tx ty tz qx qy qz qw) for the standard "
+                         "evaluation toolchains (evo, TUM scripts)")
     ap.add_argument("--save-map", default=None, metavar="PATH.npz",
                     help="save the keyframe archive (map) after the run "
                          "for later --load-map sessions")
@@ -554,6 +558,11 @@ def main(argv=None):
         save_map(args.save_map, kf_archive)
         print(f"map saved: {len(kf_archive)} keyframes to {args.save_map}")
     write_trajectory_csv(args.output, rows)
+    if args.output_tum:
+        from vislam_tpu.eval import write_trajectory_tum
+
+        write_trajectory_tum(args.output_tum, rows)
+        print(f"TUM-format trajectory written to {args.output_tum}")
     n = len(rows)
     print(f"processed {n} frames in {wall:.2f}s ({n / max(wall, 1e-9):.1f} fps)")
     print(timer.report())

@@ -1,5 +1,10 @@
 from vislam_tpu.eval.metrics import ate_rmse, rpe_rmse, umeyama_alignment
-from vislam_tpu.eval.traj_io import write_trajectory_csv, read_trajectory_csv
+from vislam_tpu.eval.traj_io import (
+    write_trajectory_csv,
+    read_trajectory_csv,
+    write_trajectory_tum,
+    read_trajectory_tum,
+)
 from vislam_tpu.eval.runner import run_vio_sequence
 
 __all__ = [
@@ -8,5 +13,7 @@ __all__ = [
     "umeyama_alignment",
     "write_trajectory_csv",
     "read_trajectory_csv",
+    "write_trajectory_tum",
+    "read_trajectory_tum",
     "run_vio_sequence",
 ]

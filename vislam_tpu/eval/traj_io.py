@@ -58,3 +58,33 @@ def read_trajectory_csv(path: str) -> dict:
         "gt_q": data[:, 22:26],
         "gt_v": data[:, 26:29],
     }
+
+
+def write_trajectory_tum(path: str, rows) -> None:
+    """TUM trajectory format: `timestamp tx ty tz qx qy qz qw` per line
+    (timestamps in seconds). The interchange format the standard evaluation
+    toolchains (evo, TUM scripts, rpg_trajectory_evaluation) consume — the
+    reference's CSV is only readable by its own plot scripts."""
+    with open(path, "w") as f:
+        f.write("# timestamp tx ty tz qx qy qz qw\n")
+        for r in rows:
+            p = np.asarray(r["est_p"], np.float64).reshape(-1)
+            q = np.asarray(r["est_q"], np.float64).reshape(-1)  # wxyz
+            t = float(r.get("t_ns", 0)) * 1e-9
+            f.write(f"{t:.9f} {p[0]} {p[1]} {p[2]} "
+                    f"{q[1]} {q[2]} {q[3]} {q[0]}\n")
+
+
+def read_trajectory_tum(path: str):
+    """Read a TUM-format trajectory -> dict(t (N,), p (N,3), q_wxyz (N,4))."""
+    ts, ps, qs = [], [], []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            v = [float(x) for x in line.split()]
+            ts.append(v[0])
+            ps.append(v[1:4])
+            qs.append([v[7], v[4], v[5], v[6]])  # xyzw -> wxyz
+    return {"t": np.asarray(ts), "p": np.asarray(ps), "q_wxyz": np.asarray(qs)}
