@@ -55,6 +55,7 @@ class FrameResult(NamedTuple):
     num_inliers: jnp.ndarray  # () int32
     disparity: jnp.ndarray    # () float32
     t_dir_cam: jnp.ndarray    # (3,) translation direction (new-cam frame)
+    used_fallback: jnp.ndarray  # () bool — rescue guided re-match engaged
 
 
 class VIOEngine:
@@ -156,6 +157,7 @@ class VIOEngine:
             rays_j = rays_j / jnp.linalg.norm(rays_j, axis=-1, keepdims=True)
 
             # ---------------- two-view relative pose
+            used_fallback = jnp.asarray(False)
             if en.vision_rotation:
                 # Vision-only mode (no IMU, e.g. KITTI): rotation AND
                 # translation direction from the essential matrix (role of
@@ -180,6 +182,73 @@ class VIOEngine:
                 )
                 est_inliers = est.num_inliers
                 est_inlier_mask = est.inlier_mask
+
+                if fe.guided_fallback_px > 0 and fe.guided_gate_px == 0:
+                    # Rescue-only guided fallback: when the ungated solve is
+                    # catastrophic (tracking about to be lost — repetitive
+                    # texture flooding appearance matching with period-
+                    # aliased pairs, or severe blur), re-match inside the
+                    # IMU-rotation-predicted disc and take the gated solve
+                    # on a decisive inlier win. lax.cond: healthy frames
+                    # never pay for the second match/solve.
+                    triggered = (
+                        est_inliers < fe.fallback_trigger_inliers
+                    ) & (jnp.sum(feat.mask) > 0)
+
+                    def _gated_solve(_):
+                        x = (state.kf_feat.uv[:, 0] - cx) / fx
+                        y = (state.kf_feat.uv[:, 1] - cy) / fy
+                        rk = jnp.stack([x, y, jnp.ones_like(x)], -1)
+                        w = rk @ R_ji_imu.T
+                        wz = jnp.where(jnp.abs(w[:, 2]) > 1e-6, w[:, 2], 1e-6)
+                        uv_pred = jnp.stack(
+                            [w[:, 0] / wz * fx + cx, w[:, 1] / wz * fy + cy],
+                            -1,
+                        )
+                        m_g = match_descriptors(
+                            state.kf_feat.desc, state.kf_feat.mask,
+                            feat.desc, feat.mask, uv_a=state.kf_feat.uv,
+                            ratio=fe.ratio_thresh, mutual=fe.mutual_check,
+                            uv_pred=uv_pred, uv_b=feat.uv,
+                            gate_radius=fe.guided_fallback_px,
+                        )
+                        uv_j_g = jnp.take(feat.uv, m_g.idx_b, axis=0)
+                        rj_g = unproject_pixels(uv_j_g, fx, fy, cx, cy)
+                        rj_g = rj_g / jnp.linalg.norm(rj_g, axis=-1,
+                                                      keepdims=True)
+                        est_g = ransac_translation(
+                            rays_i, rj_g, R_ji_imu, m_g.mask,
+                            jax.random.fold_in(key, 7),
+                            num_hyps=be.ransac_hyps, thresh=be.ransac_thresh,
+                        )
+                        t_g = resolve_direction_sign(
+                            rays_i, rj_g, R_ji_imu, est_g.t_dir,
+                            est_g.inlier_mask,
+                        )
+                        better = (est_g.num_inliers
+                                  > fe.fallback_win_margin * est_inliers)
+
+                        def sel(a, b):
+                            return jnp.where(better, a, b)
+
+                        return (sel(m_g.idx_b, m.idx_b), sel(m_g.mask, m.mask),
+                                sel(uv_j_g, uv_j), sel(rj_g, rays_j),
+                                sel(t_g, t_dir),
+                                jnp.where(better, est_g.num_inliers,
+                                          est_inliers),
+                                sel(est_g.inlier_mask, est_inlier_mask),
+                                better)
+
+                    def _keep(_):
+                        return (m.idx_b, m.mask, uv_j, rays_j, t_dir,
+                                est_inliers, est_inlier_mask,
+                                jnp.asarray(False))
+
+                    (idx_b_s, mask_s, uv_j, rays_j, t_dir, est_inliers,
+                     est_inlier_mask, used_fallback) = jax.lax.cond(
+                        triggered, _gated_solve, _keep, None)
+                    m = m._replace(idx_b=idx_b_s, mask=mask_s)
+                    num_matches = jnp.sum(mask_s).astype(jnp.int32)
 
             disparity = rotation_compensated_disparity(
                 uv_i, uv_j, m.mask, R_ji, fx, fy, cx, cy
@@ -501,6 +570,7 @@ class VIOEngine:
                 num_inliers=est_inliers,
                 disparity=disparity,
                 t_dir_cam=t_dir,
+                used_fallback=used_fallback,
             )
             return new_state, result
 

@@ -87,6 +87,19 @@ class FrontendConfig:
                                    # most translation-informative ones):
                                    # oracle cfg1 ATE 0.176 -> 0.271 at 60 px.
                                    # Per-scene opt-in, 25-60 px typical.
+    # Adaptive guided-matching FALLBACK (IMU-rotation mode; engine step):
+    # RESCUE-ONLY semantics. Every frame solves ungated first; only when
+    # that solve is catastrophic (RANSAC inliers below the absolute floor —
+    # tracking about to be lost) does a gated re-match + re-solve run
+    # (lax.cond: healthy frames never pay), and it wins only on a decisive
+    # inlier margin. Tuning history (measured, aggressive-VI oracle):
+    # an inlier-FRACTION trigger interacts chaotically with the VI-BA
+    # feedback loop — frac 0.45: oracle cfg1 0.156 -> 0.212; frac 0.30 +
+    # margin 1.3: aggr-VI seed1 0.52 -> 2.02. A rescue can't hurt a
+    # healthy run because it never engages there. 0 disables.
+    guided_fallback_px: float = 60.0
+    fallback_trigger_inliers: int = 12
+    fallback_win_margin: float = 1.5
     max_matches: int = 512
     match_cell_rows: int = 7       # reference grid filter ~ sqrt(49) (Matcher.cpp:171-244)
     match_cell_cols: int = 7
