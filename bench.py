@@ -253,6 +253,7 @@ def main():
     fps_slam = bench_tpu_scan(seq, slam=True)
     fps_stream = bench_tpu(seq)
     fps_b8 = bench_batch8()
+    fps_b32 = bench_batch8(B=32)
     base = bench_reference_cpu(seq)
     flops_frame = scan_flops_per_frame(seq)
     peak = _peak_flops()
@@ -266,6 +267,7 @@ def main():
                 "streaming_fps": round(fps_stream, 2),
                 "slam_scan_fps": round(fps_slam, 2),
                 "batch8_fps": round(fps_b8, 2),
+                "batch32_fps": round(fps_b32, 2),
                 "baseline_cpu_fps": round(base, 2),
                 # Utilization accounting (VERDICT round-1 weak #2): measured
                 # XLA-cost-analysis FLOPs of the compiled scan step, device
@@ -277,6 +279,7 @@ def main():
                 "flops_per_frame": round(flops_frame, 0),
                 "mfu_scan": round(flops_frame * fps_scan / peak, 6),
                 "mfu_batch8": round(flops_frame * fps_b8 / peak, 6),
+                "mfu_batch32": round(flops_frame * fps_b32 / peak, 6),
             }
         )
     )

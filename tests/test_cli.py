@@ -67,6 +67,17 @@ def test_cli_euroc_fixture(tmp_path):
     assert np.isfinite(data["gt_p"]).all()
 
 
+def test_cli_gauge_flag(tmp_path):
+    """--gauge plumbs through to the online-BA window gauge (regime knob;
+    BENCH_NOTES round 3: marg vs ends is motion-regime-dependent)."""
+    out = str(tmp_path / "traj.csv")
+    r = _run_cli(["--synthetic", "18", "--output", out, "--imu-scale",
+                  "--vi-ba", "--gauge", "ends"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    data = read_trajectory_csv(out)
+    assert np.isfinite(data["est_p"]).all()
+
+
 def test_cli_checkpoint_resume(tmp_path):
     """A run checkpointed mid-way and resumed must reproduce the uninterrupted
     run exactly (same synthetic seed; the trajectory is an analytic function

@@ -71,6 +71,12 @@ def main(argv=None):
                     help="add preintegrated-IMU factors to the window BA "
                          "(visual-inertial BA: scale/gravity/velocity become "
                          "observable; auto-enabled for --ba --imu-scale)")
+    ap.add_argument("--gauge", default=None,
+                    choices=["marg", "ends", "oldest2"],
+                    help="online-BA window gauge (default: config 'marg'). "
+                         "Measured regime trade (BENCH_NOTES round 3): "
+                         "'marg' wins gentle motion and drifting IMU bias; "
+                         "'ends' wins translationally aggressive motion")
     ap.add_argument("--loop-correct", action="store_true",
                     help="offline loop-closure detection + pose-graph "
                          "correction after the run")
@@ -377,6 +383,11 @@ def main(argv=None):
         if args.photometric:
             cfg = dataclasses.replace(
                 cfg, engine=dataclasses.replace(cfg.engine, photometric_refine=True)
+            )
+        if args.gauge:
+            cfg = dataclasses.replace(
+                cfg, backend=dataclasses.replace(cfg.backend,
+                                                 online_gauge=args.gauge)
             )
         if args.ba and args.scan:
             # Scan mode has no host loop to call refine_window from — fuse

@@ -224,6 +224,14 @@ def refine_window(state: EngineState, cfg: SystemConfig,
             # anchors the window probabilistically, so the BA can correct
             # the live anchor instead of being pinned to drifted odometry.
             # Until the first eviction (prior empty) slot 0 is fixed.
+            #
+            # NOTE (measured, round 3): hard-fixing the live anchor while
+            # the prior is active — always, or adaptively by window motion —
+            # was tried to fix the aggressive-motion regression (3b) and is
+            # WORSE everywhere (ensemble mean 0.556 vs 0.391; drifting-bias
+            # 0.670 vs 0.532): the prior and a pinned anchor over-constrain
+            # the window and the reconciliation twist poisons the velocity
+            # feedback. Leave the anchor free under the prior.
             prior_active = jnp.trace(state.marg_H) > 1e-6
             fixed = jnp.where(prior_active, jnp.zeros_like(fixed),
                               W_idx == 0)

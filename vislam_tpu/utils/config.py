@@ -141,10 +141,12 @@ class BackendConfig:
     #               evicted keyframes leave a Schur-complement prior on the
     #               oldest remaining pose+velocity, so the BA can correct
     #               the live anchor (capped) instead of being pinned to
-    #               drifted odometry. DEFAULT: measured across 4 VI-mode
-    #               oracle runs (gentle 80f seeds 0/2, aggressive seeds 1/3)
-    #               mean ATE 0.312 vs 0.360 ('ends'), and 0.30 vs 0.45 under
-    #               drifting IMU bias (test_bias_online).
+    #               drifted odometry. DEFAULT: regime-dependent (round-3
+    #               ensemble, bf16 defaults): marg wins gentle motion
+    #               (0.343/0.400 vs 0.450/0.455) and drifting IMU bias
+    #               (0.532 vs 0.648), 'ends' wins translationally
+    #               aggressive motion (0.268/0.242 vs 0.519/0.303) — see
+    #               BENCH_NOTES round 3; CLI --gauge switches per run.
     online_gauge: str = "marg"
     marg_discount: float = 0.5     # prior down-weight per eviction (counters
                                    # re-observation double-counting)
