@@ -69,13 +69,24 @@ def test_cli_euroc_fixture(tmp_path):
 
 def test_cli_gauge_flag(tmp_path):
     """--gauge plumbs through to the online-BA window gauge (regime knob;
-    BENCH_NOTES round 3: marg vs ends is motion-regime-dependent)."""
-    out = str(tmp_path / "traj.csv")
-    r = _run_cli(["--synthetic", "18", "--output", out, "--imu-scale",
-                  "--vi-ba", "--gauge", "ends"])
+    BENCH_NOTES round 3: marg vs ends is motion-regime-dependent). The flag
+    must take effect in the --synthetic branch too (round-2 advisor finding:
+    it was silently ignored there) — assert the two gauges actually produce
+    different trajectories on the same seed."""
+    out_marg = str(tmp_path / "marg.csv")
+    out_ends = str(tmp_path / "ends.csv")
+    common = ["--synthetic", "30", "--imu-scale", "--vi-ba"]
+    r = _run_cli([*common, "--output", out_marg, "--gauge", "marg"])
     assert r.returncode == 0, r.stderr[-2000:]
-    data = read_trajectory_csv(out)
-    assert np.isfinite(data["est_p"]).all()
+    r = _run_cli([*common, "--output", out_ends, "--gauge", "ends"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    p_marg = read_trajectory_csv(out_marg)["est_p"]
+    p_ends = read_trajectory_csv(out_ends)["est_p"]
+    assert np.isfinite(p_marg).all() and np.isfinite(p_ends).all()
+    # Different gauges fix different poses during the window BA — on a run
+    # long enough to trigger refinement the trajectories must diverge.
+    assert not np.allclose(p_marg, p_ends, atol=1e-6), \
+        "--gauge had no effect on the synthetic branch"
 
 
 def test_cli_checkpoint_resume(tmp_path):

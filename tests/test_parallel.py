@@ -87,3 +87,113 @@ def test_dist_ba_converges_to_gt(rng):
     c_est = -np.einsum("wji,wj->wi", np.asarray(s.R), np.asarray(s.t))
     c_gt = -np.einsum("wji,wj->wi", R_gt, t_gt)
     assert np.linalg.norm(c_est - c_gt, axis=-1).max() < 0.02
+
+
+# ---------------------------------------------------------------- VI variant
+
+def _vi_problem(rng, W=6, L=96, scale_err=0.7):
+    """A VI window with a global monocular-scale error — the problem class
+    only the 9-DoF VI-BA can fix (scale is invisible to reprojection)."""
+    import sys
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from tests.test_vi_ba import _window, G
+
+    R_cw, t_cw, v, p, X, fac, prob = _window(rng, W=W, L=L)
+    # Rescale positions + landmarks about keyframe 0 (reprojection-neutral).
+    p0 = np.asarray(p)[0]
+    p_s = p0 + scale_err * (np.asarray(p) - p0)
+    X_s = p0 + scale_err * (np.asarray(X) - p0)
+    t_s = -np.einsum("wij,wj->wi", np.asarray(R_cw), p_s)
+    state = BAState(R=jnp.asarray(R_cw), t=jnp.asarray(t_s, jnp.float32),
+                    X=jnp.asarray(X_s, jnp.float32))
+    v_bad = jnp.asarray(scale_err * np.asarray(v), jnp.float32)
+    return state, prob, v_bad, fac, (np.asarray(p), np.asarray(v)), G
+
+
+def test_dist_vi_ba_matches_single_device(rng):
+    """The landmark-sharded 9-DoF VI-BA must agree with the single-device
+    vi_bundle_adjust (same LM schedule, same math, psum-reduced Schur)."""
+    from vislam_tpu.backend.vi_ba import vi_bundle_adjust
+    from vislam_tpu.parallel import dist_vi_bundle_adjust
+
+    state, prob, v, fac, _, G = _vi_problem(rng)
+    g_w = jnp.asarray(G)
+    R_bc = jnp.eye(3, dtype=jnp.float32)
+
+    # Compare at FULL convergence (exact-data optimum): mid-convergence
+    # accept/reject decisions are float-reduction-order sensitive across
+    # device counts, so intermediate iterates are not comparable.
+    (s_single, v_single), info_s = vi_bundle_adjust(
+        state, prob, v, fac, g_w, R_bc, iters=20)
+
+    mesh = make_mesh(8)
+    st_sh, pr_sh = shard_problem(state, prob, mesh)
+    (s_dist, v_dist), info_d = dist_vi_bundle_adjust(
+        st_sh, pr_sh, v, fac, g_w, R_bc, mesh, iters=20)
+
+    assert float(info_s["final_cost"]) < 1e-4
+    assert float(info_d["final_cost"]) < 1e-4
+    np.testing.assert_allclose(
+        np.asarray(s_dist.R), np.asarray(s_single.R), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(s_dist.t), np.asarray(s_single.t), atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(v_dist), np.asarray(v_single), atol=2e-3)
+    L = s_single.X.shape[0]
+    np.testing.assert_allclose(
+        np.asarray(s_dist.X)[:L], np.asarray(s_single.X), atol=5e-3)
+
+
+def test_dist_vi_ba_recovers_scale(rng):
+    """Distributed VI-BA must recover the true metric scale from the IMU
+    factors — the capability that makes it the flagship (GT-free) mode."""
+    from vislam_tpu.parallel import dist_vi_bundle_adjust
+
+    state, prob, v, fac, (p_gt, v_gt), G = _vi_problem(rng, scale_err=0.7)
+    mesh = make_mesh(8)
+    st_sh, pr_sh = shard_problem(state, prob, mesh)
+    (s, v_out), info = dist_vi_bundle_adjust(
+        st_sh, pr_sh, v, fac, jnp.asarray(G), jnp.eye(3, dtype=jnp.float32),
+        mesh, iters=20)
+    assert float(info["final_cost"]) < float(info["initial_cost"])
+    c_est = -np.einsum("wji,wj->wi", np.asarray(s.R), np.asarray(s.t))
+    # Path length back to metric (started at 0.7x).
+    el = np.linalg.norm(np.diff(c_est, axis=0), axis=1).sum()
+    gl = np.linalg.norm(np.diff(p_gt, axis=0), axis=1).sum()
+    assert 0.9 < el / gl < 1.1, el / gl
+    assert np.linalg.norm(np.asarray(v_out) - v_gt, axis=-1).max() < 0.15
+
+
+def test_dist_vi_ba_with_online_bias(rng):
+    """Bias-estimating mode: the shared (dbg, dba) block co-refines
+    replicated; results must match the single-device solver."""
+    from vislam_tpu.backend.vi_ba import vi_bundle_adjust
+    from vislam_tpu.parallel import dist_vi_bundle_adjust
+
+    state, prob, v, fac, _, G = _vi_problem(rng)
+    W = state.R.shape[0]
+    # Attach bias Jacobians (zeros are valid Jacobians for an exact-factor
+    # window integrated at the reference bias).
+    z = jnp.zeros((W, 3, 3), jnp.float32)
+    z3 = jnp.zeros((W, 3), jnp.float32)
+    fac_b = fac._replace(J_R_bg=z, J_v_bg=z, J_v_ba=z, J_p_bg=z, J_p_ba=z,
+                         bg_ref=z3, ba_ref=z3)
+    bg0 = jnp.zeros(3, jnp.float32)
+    ba0 = jnp.zeros(3, jnp.float32)
+    g_w = jnp.asarray(G)
+    R_bc = jnp.eye(3, dtype=jnp.float32)
+
+    (s_s, v_s, bg_s, ba_s), info_s = vi_bundle_adjust(
+        state, prob, v, fac_b, g_w, R_bc, iters=20, bg0=bg0, ba0=ba0)
+    mesh = make_mesh(8)
+    st_sh, pr_sh = shard_problem(state, prob, mesh)
+    (s_d, v_d, bg_d, ba_d), info_d = dist_vi_bundle_adjust(
+        st_sh, pr_sh, v, fac_b, g_w, R_bc, mesh, iters=20, bg0=bg0, ba0=ba0)
+
+    assert float(info_s["final_cost"]) < 1e-4
+    assert float(info_d["final_cost"]) < 1e-4
+    # The bias priors leave a slightly flat optimum (velocity<->bias
+    # trade-off), so converged states agree to ~1e-2, not 1e-3.
+    np.testing.assert_allclose(np.asarray(v_d), np.asarray(v_s), atol=1e-2)
+    np.testing.assert_allclose(np.asarray(bg_d), np.asarray(bg_s), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(ba_d), np.asarray(ba_s), atol=1e-2)

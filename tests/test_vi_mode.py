@@ -69,3 +69,69 @@ def test_vi_mode_recovers_scale():
     gt_len = np.linalg.norm(np.diff(gt, axis=0), axis=1).sum()
     assert 0.85 < est_len / gt_len < 1.15, est_len / gt_len
     assert ate_rmse(poses, gt, align=False) < 0.4
+
+
+def _run_gt_free(seq, n, v0, bootstrap):
+    import dataclasses
+
+    from vislam_tpu.utils.config import SystemConfig
+
+    cfg = SystemConfig()
+    if not bootstrap:
+        cfg = dataclasses.replace(
+            cfg, engine=dataclasses.replace(cfg.engine,
+                                            vi_align_bootstrap=False))
+    eng = VIOEngine(seq["calib"], cfg)
+    state = eng.initialize(seq["images"][0], q_wb0=seq["gt_quat"][0],
+                           v_w0=v0, p_w0=seq["gt_pos"][0])
+    poses = []
+    for j in range(1, n):
+        lo, hi = (j - 1) * 10, j * 10
+        imu = np.zeros((16, 6), np.float32)
+        imu[:10] = np.concatenate(
+            [seq["imu_gyro"][lo:hi], seq["imu_accel"][lo:hi]], -1)
+        dt = np.zeros(16, np.float32)
+        dt[:10] = 1 / 200.0
+        state, res = eng.step(state, seq["images"][j], imu, dt, -1.0)
+        poses.append(np.asarray(res.p_wc))
+    return np.array(poses), state
+
+
+def test_vi_align_bootstrap_cold_start():
+    """Cold start with a WRONG initial velocity (zeros; true v0 is ~1.8 m/s):
+    without the linear VI alignment (engine/bootstrap.py) the propagated
+    scale diverges; WITH it the engine detects the kinematic inconsistency
+    (model comparison vs the window's preintegrated factors), re-anchors
+    scale + velocities, and halves the error. Role upgrade over the
+    reference's GT scale injection (/root/reference/src/VISystem.cpp:523-527)."""
+    n = 60
+    seq = make_synthetic_sequence(
+        SyntheticConfig(n_frames=n, n_landmarks=300, seed=0))
+    gt = seq["gt_pos"][1:n]
+    gl = np.linalg.norm(np.diff(gt, axis=0), axis=1).sum()
+
+    p_off, s_off = _run_gt_free(seq, n, np.zeros(3), bootstrap=False)
+    p_on, s_on = _run_gt_free(seq, n, np.zeros(3), bootstrap=True)
+    ate_off = ate_rmse(p_off, gt, align=False)
+    ate_on = ate_rmse(p_on, gt, align=False)
+    assert bool(s_on.vi_aligned)
+    # Only passes with the alignment on: the bootstrap must cut the
+    # cold-start error by at least 25% and pull scale toward metric.
+    assert ate_on < 0.75 * ate_off, (ate_on, ate_off)
+    sr_on = np.linalg.norm(np.diff(p_on, axis=0), axis=1).sum() / gl
+    sr_off = np.linalg.norm(np.diff(p_off, axis=0), axis=1).sum() / gl
+    assert abs(sr_on - 1.0) < abs(sr_off - 1.0)
+
+
+def test_vi_align_bootstrap_warm_start_neutral():
+    """With a correct initial velocity the state passes the bootstrap's
+    health check and must remain EXACTLY unchanged (the alignment only
+    fires on measured kinematic inconsistency)."""
+    n = 40
+    seq = make_synthetic_sequence(
+        SyntheticConfig(n_frames=n, n_landmarks=300, seed=0))
+    v0 = seq["gt_vel"][0]
+    p_off, _ = _run_gt_free(seq, n, v0, bootstrap=False)
+    p_on, s_on = _run_gt_free(seq, n, v0, bootstrap=True)
+    assert bool(s_on.vi_aligned)  # determination made (healthy), no apply
+    np.testing.assert_allclose(p_on, p_off, atol=1e-6)

@@ -141,6 +141,12 @@ def main(argv=None):
             cfg_ = _d.replace(
                 cfg_, backend=_d.replace(cfg_.backend, vi_factors=True)
             )
+        if args.gauge:
+            # Applied here (not in the --dataset branch) so --synthetic runs
+            # honor --gauge too.
+            cfg_ = _d.replace(
+                cfg_, backend=_d.replace(cfg_.backend, online_gauge=args.gauge)
+            )
         return cfg_
 
     if args.cpu:
@@ -383,11 +389,6 @@ def main(argv=None):
         if args.photometric:
             cfg = dataclasses.replace(
                 cfg, engine=dataclasses.replace(cfg.engine, photometric_refine=True)
-            )
-        if args.gauge:
-            cfg = dataclasses.replace(
-                cfg, backend=dataclasses.replace(cfg.backend,
-                                                 online_gauge=args.gauge)
             )
         if args.ba and args.scan:
             # Scan mode has no host loop to call refine_window from — fuse

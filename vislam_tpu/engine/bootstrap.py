@@ -1,0 +1,171 @@
+"""GT-free visual-inertial bootstrap: apply the linear VI alignment
+(inertial/vi_align.py) to the engine's keyframe window.
+
+The reference bootstraps monocular scale from ground truth (setGtRes,
+/root/reference/src/VISystem.cpp:523-527) and its plot tool rescales by hand
+(tools/plot/plot.py:200-202). In IMU-scale (GT-free) mode this module is the
+principled replacement: once the window holds enough preintegrated IMU
+factors, one linear least-squares solve recovers the monocular scale
+correction and all keyframe velocities, and the engine state is re-anchored
+to the metric solution.
+
+Three measured failure modes shape the gating (see BENCH_NOTES round 3):
+
+1. DEGENERACY: for near-constant-velocity windows, scale and the
+   along-track velocity offset are almost unobservable (the fit residual is
+   tiny while scale is 25% off). Gate: velocity EXCITATION — the spread of
+   the IMU-integrated velocity deltas across the window (state-independent)
+   must exceed a floor before the fit is trusted at all.
+2. FREE GRAVITY destabilizes short windows: the engine's filter attitude is
+   already gravity-anchored, so the applied solve FIXES gravity; the
+   free-gravity solve runs only as a data-consistency check.
+3. A healthy state must not be "corrected": the alignment is applied only
+   when the CURRENT state's kinematic residual is decisively worse than the
+   fit's (model comparison), i.e. the velocity/scale state is actually
+   inconsistent with the window's IMU factors (cold start, wrong v0).
+   Measured separation: healthy runs r_cur <= 0.006, corrupted >= 0.009.
+
+Runs INSIDE the jitted engine step behind a lax.cond on keyframe promotion
+(fixed shapes, masked invalid slots), so both the host-loop CLI and the
+offline scan runner get it for free.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from vislam_tpu.engine.state import EngineState
+from vislam_tpu.inertial.vi_align import vi_align, vi_align_fixed_gravity
+
+
+def _current_state_residual(R_wb, p, v_win, dv, dp, dt, g_w, mask):
+    """RMS kinematic residual of the CURRENT window state (s=1, stored
+    velocities) against the IMU factors — the model-comparison baseline."""
+    m = mask.astype(jnp.float32)[:, None]
+    dtk = dt[:, None]
+    Rdp = jnp.einsum("kij,kj->ki", R_wb[:-1], dp)
+    Rdv = jnp.einsum("kij,kj->ki", R_wb[:-1], dv)
+    e_p = (p[1:] - p[:-1] - v_win[:-1] * dtk
+           - 0.5 * g_w[None] * dtk * dtk - Rdp) * m
+    e_v = (v_win[1:] - v_win[:-1] - g_w[None] * dtk - Rdv) * m
+    n = jnp.maximum(jnp.sum(m) * 6.0, 1.0)
+    return jnp.sqrt((jnp.sum(e_p * e_p) + jnp.sum(e_v * e_v)) / n)
+
+
+def vi_align_window(state: EngineState, R_bc, gravity: float,
+                    min_factors: int = 4,
+                    scale_bounds=(0.2, 5.0),
+                    max_gravity_err: float = 1.5,
+                    min_gravity_cos: float = 0.94,
+                    min_excitation: float = 0.5,
+                    resid_floor: float = 0.007,
+                    resid_ratio: float = 1.6) -> EngineState:
+    """Attempt the linear alignment on the current window.
+
+    Outcomes (all decided by where-gating, fixed shapes):
+      - fit untrustworthy (too few factors / no excitation / sanity fail):
+        state unchanged, vi_aligned stays False -> retried next promotion.
+      - fit trustworthy AND current state consistent with the IMU factors:
+        state unchanged, vi_aligned set (healthy warm start — done).
+      - fit trustworthy AND current state inconsistent: re-anchor scale +
+        velocities (+ reset any marginalization prior, whose linearization
+        the re-anchoring invalidates), vi_aligned set.
+
+    R_bc: camera->body extrinsic rotation (HLO literal / numpy).
+    """
+    win = state.window
+    W = win.valid.shape[0]
+    R_bc = jnp.asarray(R_bc, jnp.float32)
+
+    # Body->world rotations and camera(=body, lever arm neglected) positions
+    # per window slot: R_wb = R_cw^T R_bc^T (vi_ba.py convention).
+    R_wb = jnp.einsum("wji,kj->wik", win.R_cw, R_bc)
+    p = -jnp.einsum("wji,wj->wi", win.R_cw, win.t_cw)          # (W, 3)
+
+    # Interval k -> k+1 uses the factor stored at slot k+1.
+    mask = win.imu_valid[1:] & win.valid[1:] & win.valid[:-1]  # (W-1,)
+    g_w = jnp.array([0.0, 0.0, -gravity], jnp.float32)
+    dv, dp, dt = win.imu_dv[1:], win.imu_dp[1:], win.imu_dt[1:]
+
+    align = vi_align_fixed_gravity(R_wb, p, dv, dp, dt, g_w, mask=mask)
+    check = vi_align(R_wb, p, dv, dp, dt, mask=mask)
+
+    # --- Excitation (state-independent): spread of the IMU-integrated
+    # cumulative velocity across the window. Near-constant velocity makes
+    # (scale, along-track velocity offset) degenerate.
+    m_f = mask.astype(jnp.float32)[:, None]
+    dVk = (jnp.einsum("kij,kj->ki", R_wb[:-1], dv)
+           + g_w[None] * dt[:, None]) * m_f              # true world dv_k
+    V = jnp.cumsum(jnp.concatenate([jnp.zeros((1, 3)), dVk], 0), axis=0)
+    w_slot = jnp.concatenate([jnp.ones((1,)), mask.astype(jnp.float32)])
+    V_mean = jnp.sum(V * w_slot[:, None], 0) / jnp.maximum(
+        jnp.sum(w_slot), 1.0)
+    excitation = jnp.max(
+        jnp.linalg.norm(V - V_mean, axis=-1) * w_slot)
+
+    # --- Model comparison: current state vs fit.
+    r_cur = _current_state_residual(R_wb, p, win.v_w, dv, dp, dt, g_w, mask)
+    r_fit = align.residual
+
+    s = align.scale
+    g = check.gravity
+    g_norm = jnp.linalg.norm(g)
+    g_cos = -g[2] / jnp.maximum(g_norm, 1e-6)  # alignment with world -z
+    n_fac = jnp.sum(mask)
+    trustworthy = (
+        (n_fac >= min_factors)
+        & (excitation >= min_excitation)
+        & jnp.isfinite(s)
+        & (s > scale_bounds[0]) & (s < scale_bounds[1])
+        & (jnp.abs(g_norm - gravity) < max_gravity_err)
+        & (g_cos > min_gravity_cos)
+        & jnp.all(jnp.isfinite(align.velocities))
+        & jnp.isfinite(r_fit) & jnp.isfinite(r_cur)
+    )
+    # Health check on the CURRENT state (valid with or without excitation:
+    # it needs no fit). Healthy -> nothing to bootstrap, done.
+    healthy = (n_fac >= min_factors) & jnp.isfinite(r_cur) \
+        & (r_cur <= resid_floor)
+    # Unhealthy state + a fit that explains the window decisively better ->
+    # apply. A corrupted window can defeat the (s, v) model entirely (both
+    # residuals large, ratio ~1) — then neither apply nor finish: retry at
+    # later promotions, as corrupt keyframes roll out of the window.
+    inconsistent = (r_cur > resid_floor) & (r_fit < r_cur / resid_ratio)
+    apply = trustworthy & inconsistent
+
+    # Re-anchor: rescale every window/engine position about the slot-0
+    # keyframe, and install the aligned velocities.
+    p0 = p[0]
+    p_new = p0 + s * (p - p0)
+    t_cw_new = -jnp.einsum("wij,wj->wi", win.R_cw, p_new)
+    # Velocities: write back only where at least one adjacent interval
+    # constrained them (others are regularization artifacts).
+    adj = jnp.zeros((W,), bool)
+    adj = adj.at[1:].set(mask)
+    adj = adj.at[:-1].set(adj[:-1] | mask)
+    v_new = jnp.where(adj[:, None], align.velocities, win.v_w)
+
+    anchor = jnp.clip(win.count - 1, 0, W - 1)
+    kf_p_new = p0 + s * (state.kf_p_wc - p0)
+    p_wc_new = p0 + s * (state.p_wc - p0)
+    v_anchor = jnp.take(v_new, anchor, axis=0)
+
+    sel = lambda a, b: jnp.where(apply, a, b)
+    new_win = win._replace(
+        t_cw=sel(t_cw_new, win.t_cw),
+        v_w=sel(v_new, win.v_w),
+    )
+    # An applied re-anchor invalidates any marginalization prior's
+    # linearization point — reset it (the next BA rebuilds it fresh).
+    z99 = jnp.zeros((9, 9), jnp.float32)
+    return state._replace(
+        window=new_win,
+        kf_p_wc=sel(kf_p_new, state.kf_p_wc),
+        p_wc=sel(p_wc_new, state.p_wc),
+        v_w=sel(v_anchor, state.v_w),
+        marg_H=sel(z99, state.marg_H),
+        marg_pend_H=sel(z99, state.marg_pend_H),
+        # Displacement-since-keyframe accumulators are zero at promotion
+        # (the only time this runs), so no rescale is needed there.
+        vi_aligned=state.vi_aligned | healthy | apply,
+    )

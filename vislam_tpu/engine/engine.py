@@ -477,8 +477,9 @@ class VIOEngine:
             # the velocity state, so the velocity must NOT be re-estimated
             # from the (IMU-scaled) vision displacement — that feedback
             # collapses scale to zero (measured path ratio 0.069). Propagate
-            # inertially instead; full visual-inertial alignment replaces
-            # this once implemented.
+            # inertially; the linear VI alignment (engine/bootstrap.py)
+            # re-anchors the velocity state once the window supports it, and
+            # the VI-BA refines it thereafter.
             v_new = jnp.where(solved & (gt_t_norm >= 0), v_vis, v_imu)
             # Rate limit + physical clamp: anchor refinements jitter the
             # vision velocity; unbounded it feeds a position runaway.
@@ -545,7 +546,29 @@ class VIOEngine:
                 marg_pend_R_cw=state.marg_pend_R_cw,
                 marg_pend_t_cw=state.marg_pend_t_cw,
                 marg_pend_v=state.marg_pend_v,
+                vi_aligned=state.vi_aligned,
             )
+            if en.vi_align_bootstrap and not en.vision_rotation:
+                # GT-free bootstrap: once enough preintegrated factors are in
+                # the window (IMU-scale mode, before any marginalization
+                # prior), the linear visual-inertial alignment re-anchors
+                # scale/velocities/gravity (engine/bootstrap.py). lax.cond:
+                # after the one-shot alignment the branch never executes.
+                from vislam_tpu.engine.bootstrap import vi_align_window
+
+                need_align = (
+                    is_kf & (gt_t_norm < 0.0) & (~new_state.vi_aligned)
+                    & (jnp.sum(new_state.window.imu_valid)
+                       >= en.vi_align_min_factors)
+                )
+                new_state = jax.lax.cond(
+                    need_align,
+                    lambda s: vi_align_window(
+                        s, R_bc, en.gravity,
+                        min_factors=en.vi_align_min_factors),
+                    lambda s: s,
+                    new_state,
+                )
             if be.refine_in_step:
                 # In-step windowed (V)I-BA: the refine program joins this
                 # step's XLA graph behind a cond, executing only on keyframe

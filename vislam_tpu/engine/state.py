@@ -108,6 +108,9 @@ class EngineState(NamedTuple):
     marg_pend_R_cw: jnp.ndarray  # (3, 3)
     marg_pend_t_cw: jnp.ndarray  # (3,)
     marg_pend_v: jnp.ndarray     # (3,)
+    # GT-free bootstrap: set once the linear visual-inertial alignment
+    # (engine/bootstrap.py) has re-anchored scale/gravity/velocities.
+    vi_aligned: jnp.ndarray      # () bool
 
 
 def init_window(W: int, K: int, D: int) -> KeyframeWindow:
@@ -199,4 +202,5 @@ def init_state(
         marg_pend_R_cw=jnp.eye(3, dtype=jnp.float32),
         marg_pend_t_cw=jnp.zeros(3, jnp.float32),
         marg_pend_v=jnp.zeros(3, jnp.float32),
+        vi_aligned=jnp.zeros((), bool),
     )

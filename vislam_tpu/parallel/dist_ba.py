@@ -29,7 +29,9 @@ from vislam_tpu.backend.ba import (
     BAProblem,
     BAState,
     _apply_update,
+    back_substitute_landmarks,
     build_normal_equations,
+    reduce_landmarks,
     robust_cost,
     schur_solve,
 )
@@ -153,3 +155,161 @@ def dist_bundle_adjust(
         BAState(R=R, t=t, X=X),
         {"costs": costs, "final_cost": costs[-1], "initial_cost": cost0},
     )
+
+
+def dist_vi_bundle_adjust(
+    state: BAState,
+    prob: BAProblem,
+    v,
+    fac,
+    g_w,
+    R_bc,
+    mesh: Mesh,
+    axis="map",
+    iters: int = 8,
+    lam0: float = 1e-3,
+    huber_delta: float = 2.0,
+    w_rot: float = 1e4,
+    w_vel: float = 1e2,
+    w_pos: float = 1e2,
+    fixed_mask=None,
+    bg0=None,
+    ba0=None,
+    w_bg_prior: float = 1e4,
+    w_ba_prior: float = 3e3,
+):
+    """Distributed VISUAL-INERTIAL sliding-window BA (the flagship 9-DoF
+    window of backend/vi_ba.py, sharded).
+
+    Layout: landmarks + observations sharded on the mesh `axis` (one psum
+    per LM iteration reduces the (W,W,6,6) Schur camera system — identical
+    communication to the vision-only dist_bundle_adjust, O(W^2) floats,
+    independent of L); the IMU/velocity(/bias) blocks are TINY ((9W)^2, or
+    (9W+6)^2 with online bias) and are computed replicated on every device;
+    the extended reduced system solves replicated; landmark updates
+    back-substitute locally. Same math as the single-device
+    vi_bundle_adjust — equivalence-tested on the 8-device CPU mesh
+    (tests/test_parallel.py). Role: the full optimizer surface of the
+    reference (/root/reference/src/VISystem.cpp:1113-1448), distributed.
+
+    state/prob must be placed by shard_problem first. fac: ImuFactors
+    (bias-Jacobian fields optional; with bg0/ba0 given, the shared window
+    bias co-refines exactly as in vi_bundle_adjust).
+    """
+    import numpy as np
+
+    from vislam_tpu.backend.vi_ba import (
+        ImuFactors,
+        _imu_normal_equations,
+        _imu_normal_equations_bias,
+        imu_cost,
+        solve_vi_system,
+        solve_vi_system_bias,
+    )
+
+    axis = tuple(axis) if isinstance(axis, (tuple, list)) else axis
+    fx, fy, cx, cy = prob.fx, prob.fy, prob.cx, prob.cy  # static scalars
+    W = int(state.R.shape[0])
+    est_bias = fac.has_bias_jacobians and bg0 is not None
+    if fixed_mask is None:
+        fixed_mask = np.arange(W) == 0
+    repl = NamedSharding(mesh, P())
+    put = lambda x: jax.device_put(jnp.asarray(x, jnp.float32), repl)
+    v = put(v)
+    g_w = put(g_w)
+    R_bc = put(R_bc)
+    fm = jax.device_put(jnp.asarray(fixed_mask, bool), repl)
+    fac = jax.tree.map(
+        lambda x: None if x is None else jax.device_put(jnp.asarray(x), repl),
+        fac, is_leaf=lambda x: x is None)
+    if est_bias:
+        bias0 = put(jnp.concatenate([jnp.asarray(bg0, jnp.float32),
+                                     jnp.asarray(ba0, jnp.float32)]))
+        bg0_j, ba0_j = put(bg0), put(ba0)
+    else:
+        bias0 = put(jnp.zeros(6, jnp.float32))
+        bg0_j = ba0_j = None
+    n_dev = _axis_size(mesh, axis)
+
+    def lm_scan(R, t, X, obs_uv, obs_mask, vv0, fc, fmask, b0, gw, Rbc):
+        pr = BAProblem(obs_uv=obs_uv, obs_mask=obs_mask,
+                       fx=fx, fy=fy, cx=cx, cy=cy)
+
+        def total_cost(st, vel, bias):
+            c = jax.lax.psum(robust_cost(st, pr, huber_delta), axis)
+            if est_bias:
+                bg, ba = bias[:3], bias[3:]
+                c = c + imu_cost(st.R, st.t, vel, fc, gw, Rbc,
+                                 w_rot, w_vel, w_pos, bg=bg, ba=ba)
+                c = c + 0.5 * (w_bg_prior * jnp.sum((bg - bg0_j) ** 2)
+                               + w_ba_prior * jnp.sum((ba - ba0_j) ** 2))
+            else:
+                c = c + imu_cost(st.R, st.t, vel, fc, gw, Rbc,
+                                 w_rot, w_vel, w_pos)
+            return c
+
+        def step(carry, _):
+            st, vel, bias, lam, cost = carry
+            Hpp, Hpl, Hll, bp, bl, _ = build_normal_equations(
+                st, pr, huber_delta)
+            # One collective: partial Schur camera system psum-reduced over
+            # the landmark shards.
+            S, rhs, Hll_inv = reduce_landmarks(
+                Hpp, Hpl, Hll, bp, bl, lam, axis_name=axis)
+            if est_bias:
+                H_imu, b_imu = _imu_normal_equations_bias(
+                    st.R, st.t, vel, fc, gw, Rbc, w_rot, w_vel, w_pos,
+                    bias[:3], bias[3:], bg0_j, ba0_j,
+                    w_bg_prior, w_ba_prior)
+                dxi, dv, db = solve_vi_system_bias(
+                    S, rhs, H_imu, b_imu, lam, fmask)
+            else:
+                H_imu, b_imu = _imu_normal_equations(
+                    st.R, st.t, vel, fc, gw, Rbc, w_rot, w_vel, w_pos)
+                dxi, dv = solve_vi_system(S, rhs, H_imu, b_imu, lam, fmask)
+                db = jnp.zeros((6,), jnp.float32)
+            dX = back_substitute_landmarks(Hpl, Hll_inv, bl, dxi)
+            cand = _apply_update(st, dxi, dX)
+            cand_v = vel + dv
+            cand_b = bias + db
+            cand_cost = total_cost(cand, cand_v, cand_b)
+            all_dX_finite = (
+                jax.lax.psum(jnp.all(jnp.isfinite(dX)).astype(jnp.int32),
+                             axis) == n_dev
+            )
+            finite = (jnp.isfinite(cand_cost) & jnp.all(jnp.isfinite(dxi))
+                      & jnp.all(jnp.isfinite(dv)) & jnp.all(jnp.isfinite(db))
+                      & all_dX_finite)
+            accept = finite & (cand_cost < cost)
+            new_st = jax.tree.map(
+                lambda a, b: jnp.where(accept, a, b), cand, st)
+            new_v = jnp.where(accept, cand_v, vel)
+            new_b = jnp.where(accept, cand_b, bias)
+            new_lam = jnp.where(accept, jnp.maximum(lam * 0.3, 1e-8),
+                                lam * 4.0)
+            new_cost = jnp.where(accept, cand_cost, cost)
+            return (new_st, new_v, new_b, new_lam, new_cost), new_cost
+
+        st = BAState(R=R, t=t, X=X)
+        cost0 = total_cost(st, vv0, b0)
+        (s, vel, bias, lam, cost), costs = jax.lax.scan(
+            step, (st, vv0, b0, jnp.asarray(lam0, jnp.float32), cost0),
+            None, length=iters)
+        return s.R, s.t, s.X, vel, bias, costs, cost0
+
+    fn = shard_map(
+        lm_scan,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(None, axis), P(None, axis),
+                  P(), P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P(axis), P(), P(), P(), P()),
+        check_vma=False,
+    )
+    R, t, X, v_out, bias, costs, cost0 = jax.jit(fn)(
+        state.R, state.t, state.X, prob.obs_uv, prob.obs_mask,
+        v, fac, fm, bias0, g_w, R_bc,
+    )
+    info = {"costs": costs, "final_cost": costs[-1], "initial_cost": cost0}
+    if est_bias:
+        return (BAState(R=R, t=t, X=X), v_out, bias[:3], bias[3:]), info
+    return (BAState(R=R, t=t, X=X), v_out), info

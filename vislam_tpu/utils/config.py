@@ -245,6 +245,15 @@ class EngineConfig:
     recalib_accel_std: float = 0.10   # m/s^2 max in-window accel std
     recalib_accel_dev: float = 0.30   # m/s^2 max | |a| - g |
     recalib_alpha: float = 0.10       # EMA step toward the window mean
+    # GT-free bootstrap (engine/bootstrap.py): once the window holds
+    # vi_align_min_factors valid preintegrated factors in IMU-scale mode,
+    # the VINS-style linear alignment recovers the monocular scale
+    # correction + gravity + keyframe velocities and re-anchors the engine
+    # (one-shot; retried each promotion until its sanity gates pass).
+    # Principled replacement for the reference's GT scale injection
+    # (/root/reference/src/VISystem.cpp:523-527).
+    vi_align_bootstrap: bool = True
+    vi_align_min_factors: int = 4
 
 
 @dataclasses.dataclass(frozen=True)
