@@ -75,17 +75,28 @@ def main():
                   f"inl={100 * r.inlier_rate:5.1f}% ({time.time() - t0:.1f}s)")
 
     # --- Full-trajectory head-to-head (reference GT-scale parity mode).
+    # EVERY regime, including repetitive (round-3: the hardest pair-level
+    # regime turned out to be an end-to-end WIN — the engine's IMU-rotation-
+    # compensated RANSAC rejects period-aliased matches, while the OpenCV
+    # reference must recover rotation from them too).
     traj = {}
-    for regime in ["natural", "illum", "blur", "occlusion", "combined"]:
+    for regime in ["natural", "illum", "blur", "repetitive", "occlusion",
+                   "combined"]:
         cfg = dataclasses.replace(presets()[regime], n_frames=n_frames,
                                   gyro_noise=0.002, accel_noise=0.02)
         seq = make_adversarial_sequence(cfg)
         r_repo = run_vio_sequence(seq, gt_scale=True)
-        p_cv = reference_trajectory(seq, kind="sift")
-        ate_cv = float(ate_rmse(p_cv[1:], seq["gt_pos"][1:], align=False))
-        traj[regime] = {"ate_tpu": r_repo["ate"], "ate_opencv_sift": ate_cv}
+        ate_cv = {}
+        for kind in ("sift", "orb"):
+            p_cv = reference_trajectory(seq, kind=kind)
+            ate_cv[kind] = float(
+                ate_rmse(p_cv[1:], seq["gt_pos"][1:], align=False))
+        traj[regime] = {"ate_tpu": r_repo["ate"],
+                        "ate_opencv_sift": ate_cv["sift"],
+                        "ate_opencv_orb": ate_cv["orb"]}
         print(f"traj {regime:11s} ATE tpu={r_repo['ate']:.3f} "
-              f"opencv-sift={ate_cv:.3f}")
+              f"opencv-sift={ate_cv['sift']:.3f} "
+              f"opencv-orb={ate_cv['orb']:.3f}")
 
     with open("/root/repo/MATCHABILITY.md", "w") as f:
         f.write("# Adversarial-vision validation (hard synthetic imagery)\n\n")
@@ -111,11 +122,20 @@ def main():
             f.write("\n")
         f.write("## Full-trajectory ATE (reference GT-scale parity mode)\n\n")
         f.write("TPU engine (shi_tomasi+sift default, IMU rotation + essential\n")
-        f.write("RANSAC) vs the OpenCV reference pipeline (SIFT + bidirectional\n")
-        f.write("2-NN/ratio/symmetry + findEssentialMat/recoverPose, GT-scaled).\n\n")
-        f.write("| regime | ATE tpu (m) | ATE opencv-sift (m) |\n|---|---|---|\n")
+        f.write("RANSAC) vs the OpenCV reference pipeline (SIFT/ORB +\n")
+        f.write("bidirectional 2-NN/ratio/symmetry + findEssentialMat/\n")
+        f.write("recoverPose, GT-scaled). All regimes, repetitive included:\n")
+        f.write("the pair-level matchability deficit there does NOT reach the\n")
+        f.write("trajectory — rotation comes from the IMU and the rotation-\n")
+        f.write("compensated translation RANSAC rejects period-aliased match\n")
+        f.write("sets (plus the round-3 direction-disagreement rescue for the\n")
+        f.write("frames where aliasing survives RANSAC).\n\n")
+        f.write("| regime | ATE tpu (m) | ATE opencv-sift (m) | "
+                "ATE opencv-orb (m) |\n|---|---|---|---|\n")
         for regime, d in traj.items():
-            f.write(f"| {regime} | {d['ate_tpu']:.3f} | {d['ate_opencv_sift']:.3f} |\n")
+            f.write(f"| {regime} | {d['ate_tpu']:.3f} | "
+                    f"{d['ate_opencv_sift']:.3f} | "
+                    f"{d['ate_opencv_orb']:.3f} |\n")
         f.write("\nGenerated by scripts/eval_matchability.py\n")
 
     print(json.dumps({"pairs": results, "traj": traj}, indent=1, default=float))

@@ -169,3 +169,76 @@ def test_guided_fallback_rescue_semantics():
     assert any(fb_on), inl_off  # the rescue engaged
     assert sum(inl_on) >= sum(inl_off)
     assert np.isfinite(p_on).all()
+
+
+def test_direction_trigger_rescues_period_aliasing():
+    """Round-3 failure-mode detector: period-aliased solves can carry
+    RANSAC-consistent-but-wrong translation directions. The direction
+    trigger (solved translation vs IMU prediction) must engage the rescue
+    on such frames EVEN WITH THE INLIER FLOOR DISABLED (proving it is the
+    direction signal, not the floor, that detects the failure mode) and
+    improve the direction agreement; and it must stay bit-neutral on
+    healthy scenes."""
+    import dataclasses
+
+    import vislam_tpu.data.adversarial as adv
+    from vislam_tpu.data import SyntheticConfig, make_synthetic_sequence
+    from vislam_tpu.utils.config import SystemConfig
+
+    seq = adv.make_adversarial_sequence(adv.AdversarialConfig(
+        n_frames=16, texture="repetitive", gyro_noise=0.002,
+        accel_noise=0.02, trans_amp=(3.0, 2.0, 1.0)))
+
+    def run(sq, fb_px, floor):
+        c = SystemConfig()
+        c = dataclasses.replace(c, frontend=dataclasses.replace(
+            c.frontend, guided_fallback_px=fb_px,
+            fallback_trigger_inliers=floor))
+        eng = VIOEngine(sq["calib"], c)
+        state = eng.initialize(
+            sq["images"][0], q_wb0=sq["gt_quat"][0],
+            v_w0=sq["gt_vel"][0], p_w0=sq["gt_pos"][0])
+        rows = []
+        last_kf = 0
+        for j in range(1, len(sq["images"])):
+            lo, hi = (j - 1) * 10, j * 10
+            imu = np.zeros((16, 6), np.float32)
+            imu[:10] = np.concatenate(
+                [sq["imu_gyro"][lo:hi], sq["imu_accel"][lo:hi]], -1)
+            dt = np.zeros(16, np.float32)
+            dt[:10] = 1 / 200.0
+            gt_norm = float(np.linalg.norm(
+                sq["gt_pos"][j] - sq["gt_pos"][last_kf]))
+            state, res = eng.step(state, sq["images"][j], imu, dt, gt_norm)
+            if bool(res.is_keyframe):
+                last_kf = j
+            tp = np.asarray(res.t_pred_cam)
+            pn = float(np.linalg.norm(tp))
+            cosang = float(tp @ np.asarray(res.t_dir_cam) / max(pn, 1e-9))
+            rows.append(dict(inl=int(res.num_inliers), pn=pn, cos=cosang,
+                             fb=bool(res.used_fallback),
+                             p=np.asarray(res.p_wc)))
+        return rows
+
+    off = run(seq, 0.0, 12)
+    # Aliased frames exist (direction disagrees while the IMU reports
+    # meaningful motion).
+    aliased = [r for r in off if r["cos"] < 0.4 and r["pn"] > 0.03]
+    assert aliased, [round(r["cos"], 2) for r in off]
+
+    # Direction-ONLY trigger (inlier floor disabled): must still engage.
+    on = run(seq, 60.0, 0)
+    assert any(r["fb"] for r in on)
+    m_off = np.mean([r["cos"] for r in off])
+    m_on = np.mean([r["cos"] for r in on])
+    assert m_on > m_off, (m_on, m_off)
+    assert np.isfinite(np.stack([r["p"] for r in on])).all()
+
+    # Healthy scene: the direction trigger must never fire (bit-neutral).
+    good = make_synthetic_sequence(
+        SyntheticConfig(n_frames=10, n_landmarks=300, seed=0))
+    h_off = run(good, 0.0, 12)
+    h_on = run(good, 60.0, 12)
+    assert not any(r["fb"] for r in h_on)
+    np.testing.assert_array_equal(
+        np.stack([r["p"] for r in h_on]), np.stack([r["p"] for r in h_off]))

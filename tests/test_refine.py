@@ -90,10 +90,11 @@ def test_refine_recovers_corrupted_pose(run):
 
 def test_ends_gauge_leaves_anchor_untouched(run):
     """Vision-only windows must never move the live anchor: the default
-    'marg' gauge is VI-only and falls back to 'ends' behavior here."""
+    'ends' gauge (round-3: never loses to open-loop on the GT-free
+    ensemble) pins it by construction."""
     seq, eng, state = run
     calib = seq["calib"]
-    assert eng.cfg.backend.online_gauge == "marg"
+    assert eng.cfg.backend.online_gauge == "ends"
     refined = refine_window(state, eng.cfg, calib.fx, calib.fy,
                             calib.cx, calib.cy)
     np.testing.assert_allclose(

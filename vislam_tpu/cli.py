@@ -73,10 +73,11 @@ def main(argv=None):
                          "observable; auto-enabled for --ba --imu-scale)")
     ap.add_argument("--gauge", default=None,
                     choices=["marg", "ends", "oldest2"],
-                    help="online-BA window gauge (default: config 'marg'). "
-                         "Measured regime trade (BENCH_NOTES round 3): "
-                         "'marg' wins gentle motion and drifting IMU bias; "
-                         "'ends' wins translationally aggressive motion")
+                    help="online-BA window gauge (default: config 'ends' — "
+                         "never loses to open-loop on the round-3 ensemble). "
+                         "'marg' (marginalization prior) wins gentle/low-"
+                         "dynamic runs but loses on aggressive motion and "
+                         "drifting bias; see BENCH_NOTES round 3")
     ap.add_argument("--loop-correct", action="store_true",
                     help="offline loop-closure detection + pose-graph "
                          "correction after the run")

@@ -56,6 +56,9 @@ class FrameResult(NamedTuple):
     disparity: jnp.ndarray    # () float32
     t_dir_cam: jnp.ndarray    # (3,) translation direction (new-cam frame)
     used_fallback: jnp.ndarray  # () bool — rescue guided re-match engaged
+    t_pred_cam: jnp.ndarray   # (3,) IMU-predicted keyframe->frame translation
+                              # (new-cam frame, metric) — rescue-trigger and
+                              # diagnostics signal
 
 
 class VIOEngine:
@@ -156,6 +159,26 @@ class VIOEngine:
             rays_i = rays_i / jnp.linalg.norm(rays_i, axis=-1, keepdims=True)
             rays_j = rays_j / jnp.linalg.norm(rays_j, axis=-1, keepdims=True)
 
+            # IMU displacement prediction since the keyframe (needed both by
+            # the scale section below and by the rescue-fallback's failure
+            # detector). With an empty IMU window (vision-only datasets) the
+            # integrated dt is 0; fall back to the camera frame period.
+            T = jnp.where(pre.dt > 1e-6, pre.dt,
+                          1.0 / max(calib.rate_cam_hz, 1.0))
+            g_w = jnp.array([0.0, 0.0, -en.gravity], jnp.float32)
+            # Attitude at the START of this IMU window (pre-update state).
+            R_wb_prev = lie.quat_to_mat(state.q_wb)
+            dp_step = state.v_w * T + 0.5 * g_w * T * T + R_wb_prev @ pre.dp
+            # The epipolar translation spans keyframe -> current frame, so
+            # the IMU scale must too: accumulate displacement since the kf.
+            dp_since_kf = state.kf_dp_imu + dp_step
+            imu_t_norm = jnp.linalg.norm(dp_since_kf)
+            # IMU-predicted relative translation in frame-j coordinates
+            # (t_ji = -R_cw_j dp_w): the direction the epipolar solve should
+            # roughly agree with when the IMU state is healthy.
+            t_pred_cam = -(R_wc_j_imu.T @ dp_since_kf)
+            t_pred_dir = t_pred_cam / jnp.maximum(imu_t_norm, 1e-9)
+
             # ---------------- two-view relative pose
             used_fallback = jnp.asarray(False)
             if en.vision_rotation:
@@ -189,10 +212,34 @@ class VIOEngine:
                     # texture flooding appearance matching with period-
                     # aliased pairs, or severe blur), re-match inside the
                     # IMU-rotation-predicted disc and take the gated solve
-                    # on a decisive inlier win. lax.cond: healthy frames
-                    # never pay for the second match/solve.
+                    # on a decisive win. lax.cond: healthy frames never pay
+                    # for the second match/solve. TWO triggers:
+                    #   1. absolute inlier floor (tracking nearly lost);
+                    #   2. failure-mode detector for period ALIASING: the
+                    #      solved translation direction disagrees hard with
+                    #      the IMU-predicted direction while the IMU says
+                    #      the camera moved meaningfully. Aliased match sets
+                    #      are epipolar-consistent with a WRONG translation,
+                    #      so they pass RANSAC with healthy inlier counts —
+                    #      an inlier floor cannot see them (measured:
+                    #      repetitive scenes solve with ~26-85 inliers at
+                    #      cos(angle to IMU) down to -0.2, while healthy
+                    #      regimes sit at cos >= +0.7).
+                    cos_est = jnp.dot(t_dir, t_pred_dir)
+                    # GT-scale mode only: in IMU-scale (GT-free) mode the
+                    # IMU prediction is simultaneously the arbiter and the
+                    # monocular scale source — rescuing toward it closes a
+                    # feedback loop that corrupts drifting runs (measured:
+                    # aggr3 marg VI-BA 0.30 -> 1.13 with the trigger live
+                    # there).
+                    dir_trig = (
+                        (imu_t_norm > fe.fallback_dir_min_norm)
+                        & (cos_est < fe.fallback_dir_cos)
+                        & (gt_t_norm >= 0.0)
+                    )
                     triggered = (
-                        est_inliers < fe.fallback_trigger_inliers
+                        (est_inliers < fe.fallback_trigger_inliers)
+                        | dir_trig
                     ) & (jnp.sum(feat.mask) > 0)
 
                     def _gated_solve(_):
@@ -225,8 +272,24 @@ class VIOEngine:
                             rays_i, rj_g, R_ji_imu, est_g.t_dir,
                             est_g.inlier_mask,
                         )
-                        better = (est_g.num_inliers
-                                  > fe.fallback_win_margin * est_inliers)
+                        # Acceptance: (a) decisive inlier win (the original
+                        # tracking-lost rescue), or (b) on a direction
+                        # trigger, the gated solve agrees with the IMU
+                        # prediction decisively better at comparable
+                        # support — aliasing suppressed without demanding a
+                        # 1.5x inlier jump the gated match set cannot
+                        # always deliver.
+                        cos_g = jnp.dot(t_g, t_pred_dir)
+                        better = (
+                            est_g.num_inliers
+                            > fe.fallback_win_margin * est_inliers
+                        ) | (
+                            dir_trig
+                            & (cos_g > cos_est + 0.15)
+                            & (est_g.num_inliers
+                               >= jnp.maximum(
+                                   8, (0.7 * est_inliers).astype(jnp.int32)))
+                        )
 
                         def sel(a, b):
                             return jnp.where(better, a, b)
@@ -253,21 +316,6 @@ class VIOEngine:
             disparity = rotation_compensated_disparity(
                 uv_i, uv_j, m.mask, R_ji, fx, fy, cx, cy
             )
-
-            # Scale: GT norm (reference setGtRes parity, VISystem.cpp:415-419)
-            # or IMU preintegration prediction in VI mode.
-            # With an empty IMU window (vision-only datasets) the integrated
-            # dt is 0; fall back to the camera frame period.
-            T = jnp.where(pre.dt > 1e-6, pre.dt,
-                          1.0 / max(calib.rate_cam_hz, 1.0))
-            g_w = jnp.array([0.0, 0.0, -en.gravity], jnp.float32)
-            # Attitude at the START of this IMU window (pre-update state).
-            R_wb_prev = lie.quat_to_mat(state.q_wb)
-            R_wb_i_kf = state.kf_R_wc @ R_bc.T
-            dp_step = state.v_w * T + 0.5 * g_w * T * T + R_wb_prev @ pre.dp
-            # The epipolar translation spans keyframe -> current frame, so
-            # the IMU scale must too: accumulate displacement since the kf.
-            dp_since_kf = state.kf_dp_imu + dp_step
 
             # Compose this frame's preintegration onto the accumulated
             # keyframe->current factor (standard preintegration chaining
@@ -320,7 +368,8 @@ class VIOEngine:
             pre_dR_acc, pre_dv_acc, pre_dp_acc = (
                 pre_acc.dR, pre_acc.dv, pre_acc.dp
             )
-            imu_t_norm = jnp.linalg.norm(dp_since_kf)
+            # Scale: GT norm (reference setGtRes parity, VISystem.cpp:415-419)
+            # or IMU preintegration prediction in VI mode.
             scale = jnp.where(gt_t_norm >= 0.0, gt_t_norm, imu_t_norm)
             t_ji = t_dir * scale  # frame-j coords: X_j = R_ji X_i + t_ji
             dp_world = dp_step  # single-frame prediction for the fallbacks
@@ -548,12 +597,20 @@ class VIOEngine:
                 marg_pend_v=state.marg_pend_v,
                 vi_aligned=state.vi_aligned,
             )
-            if en.vi_align_bootstrap and not en.vision_rotation:
-                # GT-free bootstrap: once enough preintegrated factors are in
-                # the window (IMU-scale mode, before any marginalization
-                # prior), the linear visual-inertial alignment re-anchors
-                # scale/velocities/gravity (engine/bootstrap.py). lax.cond:
-                # after the one-shot alignment the branch never executes.
+            if (en.vi_align_bootstrap and not en.vision_rotation
+                    and not be.vi_factors):
+                # GT-free bootstrap for OPEN-LOOP runs: once enough
+                # preintegrated factors are in the window (IMU-scale mode),
+                # the linear visual-inertial alignment re-anchors
+                # scale/velocities (engine/bootstrap.py). lax.cond: after
+                # the one-shot alignment the branch never executes.
+                # Statically skipped when VI-BA runs (vi_factors): the
+                # window optimizer estimates velocities/scale jointly
+                # against vision AND IMU from the first window on — the
+                # pure-kinematic alignment misreads the BA's intentional
+                # vision/IMU balance as inconsistency and fights it
+                # (measured: gentle warm VI-BA 0.35 -> 0.90 with the
+                # bootstrap active; see BENCH_NOTES round 3).
                 from vislam_tpu.engine.bootstrap import vi_align_window
 
                 need_align = (
@@ -594,6 +651,7 @@ class VIOEngine:
                 disparity=disparity,
                 t_dir_cam=t_dir,
                 used_fallback=used_fallback,
+                t_pred_cam=t_pred_cam,
             )
             return new_state, result
 

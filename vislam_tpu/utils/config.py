@@ -100,6 +100,16 @@ class FrontendConfig:
     guided_fallback_px: float = 60.0
     fallback_trigger_inliers: int = 12
     fallback_win_margin: float = 1.5
+    # Aliasing failure-mode detector (round 3): also trigger the rescue when
+    # the solved translation direction disagrees with the IMU-predicted one
+    # (cos below this) while the IMU reports meaningful motion (norm above
+    # this, meters). Period-aliased match sets pass RANSAC with healthy
+    # inlier counts, so the absolute floor alone cannot detect them;
+    # measured separation: healthy regimes cos >= +0.7 (p10), aliased
+    # repetitive frames down to -0.2. The gated re-solve is accepted on a
+    # decisive direction improvement at comparable inlier support.
+    fallback_dir_cos: float = 0.4
+    fallback_dir_min_norm: float = 0.03
     max_matches: int = 512
     match_cell_rows: int = 7       # reference grid filter ~ sqrt(49) (Matcher.cpp:171-244)
     match_cell_cols: int = 7
@@ -141,13 +151,19 @@ class BackendConfig:
     #               evicted keyframes leave a Schur-complement prior on the
     #               oldest remaining pose+velocity, so the BA can correct
     #               the live anchor (capped) instead of being pinned to
-    #               drifted odometry. DEFAULT: regime-dependent (round-3
-    #               ensemble, bf16 defaults): marg wins gentle motion
-    #               (0.343/0.400 vs 0.450/0.455) and drifting IMU bias
-    #               (0.532 vs 0.648), 'ends' wins translationally
-    #               aggressive motion (0.268/0.242 vs 0.519/0.303) — see
-    #               BENCH_NOTES round 3; CLI --gauge switches per run.
-    online_gauge: str = "marg"
+    #               drifted odometry.
+    # DEFAULT 'ends' (round-3 decision; 5-scenario GT-free ensemble,
+    # scripts/eval_gauge_ensemble.py): 'ends' NEVER loses to open-loop
+    # (0.449/0.436/0.268/0.242/0.608 vs open-loop 0.749/0.774/0.350/0.347/
+    # 0.833 on gentle0/gentle2/aggr1/aggr3/drift-bias) and has the best
+    # ensemble mean (0.40 vs marg 0.57). 'marg' wins gentle motion
+    # (0.343/0.400) but loses to open-loop on aggressive motion and
+    # drifting bias (0.519/1.134/1.303) — a default must be safe
+    # everywhere. Anchor-feedback hybrids were measured and rejected
+    # (BENCH_NOTES round 3): prior position-block down-weighting destroys
+    # the gentle win; prior-with-pinned-anchor loses everywhere. CLI
+    # --gauge marg remains the opt-in for gentle/low-dynamic runs.
+    online_gauge: str = "ends"
     marg_discount: float = 0.5     # prior down-weight per eviction (counters
                                    # re-observation double-counting)
     marg_max_trace: float = 1e6    # information cap (prevents the prior
