@@ -9,13 +9,20 @@ essential-matrix RANSAC — in optimized OpenCV C++ on the same frames on this
 host's CPU (the reference is a single-threaded CPU pipeline). vs_baseline is
 our TPU frames/sec divided by that number.
 
-Timing methodology (round 3, per BENCH_NOTES): the axon tunnel has a
-pathological slow mode where the SAME cached program measures 0.2 ms and
-1291 ms per dispatch in different runs — slow episodes last long enough to
-poison MEDIANS too. All device candidates are therefore timed INTERLEAVED
-(one rep of each per outer round, so an episode hits all candidates equally)
-and the headline is the MIN over reps — the steady-state device throughput.
-The median is reported alongside so tunnel health is visible in the JSON.
+Timing methodology (round-3 FORENSIC REWRITE — see BENCH_NOTES "The
+enqueue illusion"): on this backend `jax.block_until_ready` returns WITHOUT
+waiting (measured: a dispatch "completes" in 0.006 s whose real execution,
+verified by sleeping then fetching, takes 2.9 s). Every previously recorded
+fps number (r01 138k, r02 63k, this round's earlier 156k) measured the
+ENQUEUE rate, not execution. The only reliable completion barrier is a
+host fetch (np.asarray) of an output, which costs ~25 ms RTT. Every rep
+here is therefore timed dispatch -> fetch (RTT <= 1%% of real exec times);
+chained-execution linearity was verified (M=1/2/4/8 chained scans: 2.930/
+2.914/2.907/2.903 s per scan — execution time is real and constant).
+
+The headline workload stays PINNED to the r01/r02 configuration
+(single-scale K=512 frontend) for longitudinal comparability; the framework
+DEFAULT (multi-scale K=768 since round 3) is reported as `scan_default_fps`.
 """
 
 from __future__ import annotations
@@ -47,7 +54,27 @@ def _make_frames(n_frames: int = 96):
     return seq
 
 
-def make_scan_candidate(seq, slam: bool = False):
+def _pinned_cfg(slam: bool = False, default_frontend: bool = False):
+    """The pinned headline config: r01/r02's single-scale K=512 frontend
+    (longitudinal comparability). default_frontend=True keeps the current
+    framework defaults instead (reported as separate JSON fields)."""
+    import dataclasses
+
+    from vislam_tpu.utils.config import SystemConfig
+
+    c = SystemConfig()
+    if not default_frontend:
+        c = dataclasses.replace(
+            c, frontend=dataclasses.replace(c.frontend, levels_used=1))
+    if slam:
+        c = dataclasses.replace(
+            c, backend=dataclasses.replace(c.backend, vi_factors=True,
+                                           refine_in_step=True))
+    return c
+
+
+def make_scan_candidate(seq, slam: bool = False,
+                        default_frontend: bool = False):
     """Offline throughput: whole sequence as one on-device lax.scan.
 
     slam=True fuses the visual-inertial window BA into the scanned step
@@ -58,18 +85,7 @@ def make_scan_candidate(seq, slam: bool = False):
 
     from vislam_tpu.engine import VIOEngine, make_sequence_inputs, run_sequence_scan
 
-    cfg_kw = {}
-    if slam:
-        import dataclasses
-
-        from vislam_tpu.utils.config import SystemConfig
-
-        c = SystemConfig()
-        cfg_kw["cfg"] = dataclasses.replace(
-            c, backend=dataclasses.replace(c.backend, vi_factors=True,
-                                           refine_in_step=True)
-        )
-    eng = VIOEngine(seq["calib"], **cfg_kw)
+    eng = VIOEngine(seq["calib"], _pinned_cfg(slam, default_frontend))
     state0 = eng.initialize(
         seq["images"][0], q_wb0=seq["gt_quat"][0],
         v_w0=seq["gt_vel"][0], p_w0=seq["gt_pos"][0],
@@ -80,7 +96,7 @@ def make_scan_candidate(seq, slam: bool = False):
 
     def run():
         final, results = run_sequence_scan(eng, state0, inputs, kf_gt_pos0=kf0)
-        jax.block_until_ready(results)
+        return results.p_wc
 
     return run, n
 
@@ -92,7 +108,7 @@ def make_stream_candidate(seq, n_steps: int = 60):
 
     from vislam_tpu.engine import VIOEngine
 
-    eng = VIOEngine(seq["calib"])
+    eng = VIOEngine(seq["calib"], _pinned_cfg())
     state = eng.initialize(
         seq["images"][0], q_wb0=seq["gt_quat"][0],
         v_w0=seq["gt_vel"][0], p_w0=seq["gt_pos"][0],
@@ -113,7 +129,9 @@ def make_stream_candidate(seq, n_steps: int = 60):
         for i in range(n_steps):
             img = images[i % len(images)]
             s, r = eng._step(s, img, imu_j, dt_j, gt, key)
-        jax.block_until_ready(r.p_wc)
+        # The per-step state chain is a real data dependency: fetching the
+        # final pose forces every step to have executed.
+        return r.p_wc
 
     return run, n_steps
 
@@ -129,7 +147,7 @@ def make_batch_candidate(seq_len: int = 24, B: int = 8):
     seqs = [make_synthetic_sequence(
         SyntheticConfig(n_frames=seq_len, n_landmarks=250, seed=s))
         for s in range(B)]
-    eng = VIOEngine(seqs[0]["calib"])
+    eng = VIOEngine(seqs[0]["calib"], _pinned_cfg())
     states = jax.tree.map(
         lambda *xs: jnp.stack(xs),
         *[eng.initialize(s["images"][0], q_wb0=s["gt_quat"][0],
@@ -143,29 +161,30 @@ def make_batch_candidate(seq_len: int = 24, B: int = 8):
 
     def run():
         f, r = run_batch_scan(eng, states, inputs, kf0)
-        jax.block_until_ready(r.p_wc)
+        return r.p_wc
 
     return run, B * (seq_len - 1)
 
 
-def bench_interleaved(candidates: dict, reps: int = 9, warmups: int = 2):
-    """Time all candidates interleaved; return {name: (fps_min_based,
-    fps_median_based)}.
+def bench_interleaved(candidates: dict, reps: int = 3, warmups: int = 1):
+    """Time all candidates interleaved with FETCH-FORCED completion; return
+    {name: (fps_best, fps_median)}.
 
-    One rep of EVERY candidate per outer round: a tunnel slow-mode episode
-    degrades all candidates equally instead of poisoning whichever single
-    candidate was being median-timed when it struck. fps from the MIN time is
-    the steady-state number; the median-based fps is reported for tunnel
-    health visibility.
+    run() must return a SMALL device output whose value depends on the whole
+    computation; each rep is timed dispatch -> np.asarray(output) — the only
+    barrier this backend honors (block_until_ready is a no-op here; see
+    module docstring). The ~25 ms fetch RTT is <= 1% of real execution
+    times. Candidates are interleaved so a degraded-tunnel episode hits all
+    of them equally.
     """
     times = {name: [] for name in candidates}
     for name, (run, _n) in candidates.items():
         for _ in range(warmups):
-            run()  # compile + cache warm
+            np.asarray(run())  # compile + settle
     for _ in range(reps):
         for name, (run, _n) in candidates.items():
             t0 = time.perf_counter()
-            run()
+            np.asarray(run())
             times[name].append(time.perf_counter() - t0)
     out = {}
     for name, (_run, n) in candidates.items():
@@ -227,28 +246,37 @@ def bench_reference_cpu(seq, n_steps: int = 12) -> float:
     return 1.0 / float(np.median(per_frame))
 
 
-def scan_flops_per_frame(seq) -> float:
-    """Measured (XLA cost-analysis) FLOPs per frame of the compiled scan."""
+def step_cost(seq, default_frontend: bool = False):
+    """XLA cost analysis of ONE compiled frame step: (flops, bytes accessed)
+    per frame.
+
+    Round-3 correction: cost analysis of a lax.scan counts the loop body
+    ONCE (verified: identical flops for 11- and 23-trip scans), so the old
+    scan-total/n accounting under-reported per-frame FLOPs (and MFU) by the
+    trip count (~95x). Lowering the single step gives the honest per-frame
+    number. Caveats: both branches of lax.cond are counted (the rescue
+    fallback's second match/solve inflates ~15-30%) and "bytes accessed"
+    counts every HLO operand without fusion/VMEM dedup — treat both as
+    upper bounds.
+    """
     import jax
     import jax.numpy as jnp
-    from functools import partial
 
-    from vislam_tpu.engine import VIOEngine, make_sequence_inputs
-    from vislam_tpu.engine.batch import _scan_fn
+    from vislam_tpu.engine import VIOEngine
 
-    eng = VIOEngine(seq["calib"])
+    eng = VIOEngine(seq["calib"], _pinned_cfg(default_frontend=default_frontend))
     s0 = eng.initialize(
         seq["images"][0], q_wb0=seq["gt_quat"][0],
         v_w0=seq["gt_vel"][0], p_w0=seq["gt_pos"][0],
     )
-    inputs = make_sequence_inputs(seq)
-    fn = jax.jit(partial(_scan_fn, eng._build_step()))
-    comp = fn.lower(s0, jnp.asarray(seq["gt_pos"][0], jnp.float32),
-                    inputs, jax.random.PRNGKey(0)).compile()
+    imu = jnp.zeros((16, 6), jnp.float32)
+    dt = jnp.zeros(16, jnp.float32)
+    comp = eng._step.lower(
+        s0, jnp.asarray(seq["images"][1], jnp.float32), imu, dt,
+        jnp.asarray(0.05, jnp.float32), jax.random.PRNGKey(0)).compile()
     ca = comp.cost_analysis()
     d = ca[0] if isinstance(ca, (list, tuple)) else ca
-    n = int(inputs.images.shape[0])
-    return float(d.get("flops", 0.0)) / max(n, 1)
+    return (float(d.get("flops", 0.0)), float(d.get("bytes accessed", 0.0)))
 
 
 def _peak_flops() -> float:
@@ -266,11 +294,45 @@ def _peak_flops() -> float:
     return 197e12
 
 
+def chip_peak_probe() -> float:
+    """Measured marginal matmul throughput of the chip itself (TFLOP/s):
+    a bf16 2048^3 matmul chain inside one program, trip-count differential
+    (R=512 vs R=64), fetch-forced. Separates the CHIP (fast) from the
+    runtime's per-op overhead (the bottleneck for op-rich programs) —
+    measured 187 TFLOP/s = 95% of the v5e bf16 peak."""
+    import time as _time
+    from functools import partial as _partial
+
+    import jax
+    import jax.numpy as jnp
+
+    @_partial(jax.jit, static_argnames=("r",))
+    def burner(x, r):
+        def body(c, _):
+            return jnp.tanh(c @ c), None
+        y, _ = jax.lax.scan(body, x, None, length=r)
+        return y[0, :4]
+
+    A = jnp.ones((2048, 2048), jnp.bfloat16) * 0.001
+    ts = {}
+    for r in (64, 512):
+        np.asarray(burner(A, r=r))  # compile + settle
+        best = float("inf")
+        for _ in range(2):
+            t0 = _time.perf_counter()
+            np.asarray(burner(A, r=r))
+            best = min(best, _time.perf_counter() - t0)
+        ts[r] = best
+    dt = max(ts[512] - ts[64], 1e-9)
+    return (512 - 64) * 2 * 2048**3 / dt / 1e12
+
+
 def main():
     _enable_compile_cache()
     seq = _make_frames()
     candidates = {
         "scan": make_scan_candidate(seq),
+        "scan_default": make_scan_candidate(seq, default_frontend=True),
         "slam_scan": make_scan_candidate(seq, slam=True),
         "stream": make_stream_candidate(seq),
         "batch8": make_batch_candidate(B=8),
@@ -278,8 +340,9 @@ def main():
     }
     fps = bench_interleaved(candidates)
     base = bench_reference_cpu(seq)
-    flops_frame = scan_flops_per_frame(seq)
-    peak = _peak_flops()
+    flops_frame, bytes_frame = step_cost(seq)
+    flops_def, _bytes_def = step_cost(seq, default_frontend=True)
+    peak_probe = chip_peak_probe()
     fps_scan, fps_scan_med = fps["scan"]
     print(
         json.dumps(
@@ -288,27 +351,27 @@ def main():
                 "value": round(fps_scan, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(fps_scan / base, 3),
-                # Median-based fps alongside the min-based headline: a large
-                # min/median gap = the tunnel's slow mode struck this run.
                 "value_median": round(fps_scan_med, 2),
+                # Current framework default (multi-scale K=768 since round
+                # 3) vs the pinned headline workload (single-scale K=512).
+                "scan_default_fps": round(fps["scan_default"][0], 2),
                 "streaming_fps": round(fps["stream"][0], 2),
-                "streaming_fps_median": round(fps["stream"][1], 2),
                 "slam_scan_fps": round(fps["slam_scan"][0], 2),
-                "slam_scan_fps_median": round(fps["slam_scan"][1], 2),
                 "batch8_fps": round(fps["batch8"][0], 2),
                 "batch32_fps": round(fps["batch32"][0], 2),
                 "baseline_cpu_fps": round(base, 2),
-                # Utilization accounting: measured XLA-cost-analysis FLOPs of
-                # the compiled scan step, device time from the scan (one
-                # dispatch per sequence), MFU vs the chip's bf16 matmul peak.
-                # VIO at 512 kpts is intrinsically tiny per frame — MFU says
-                # how far from speed-of-light the *step* is, batch fps says
-                # what the chip does at load. Roofline: BENCH_NOTES round 3.
+                # HONESTY NOTE (round 3): these are fetch-forced REAL
+                # execution rates. All previously recorded values (r01
+                # 138k, r02 63k) measured the async ENQUEUE rate — this
+                # backend's block_until_ready does not wait (forensics in
+                # BENCH_NOTES). The chip itself is fast
+                # (chip_peak_probe_tflops); op-rich programs are bound by
+                # the runtime's per-op execution overhead.
                 "device_ms_per_frame": round(1000.0 / fps_scan, 5),
                 "flops_per_frame": round(flops_frame, 0),
-                "mfu_scan": round(flops_frame * fps_scan / peak, 6),
-                "mfu_batch8": round(flops_frame * fps["batch8"][0] / peak, 6),
-                "mfu_batch32": round(flops_frame * fps["batch32"][0] / peak, 6),
+                "flops_per_frame_default": round(flops_def, 0),
+                "bytes_per_frame_upperbound": round(bytes_frame, 0),
+                "chip_peak_probe_tflops": round(peak_probe, 1),
             }
         )
     )

@@ -27,7 +27,9 @@ def run_vio(seq, cfg=None, gt_scale=True, ba=False, vi_ba=False,
     from vislam_tpu.engine import VIOEngine
     from vislam_tpu.engine.refine import refine_window
     from vislam_tpu.utils.config import SystemConfig
-    from vislam_tpu.backend.trajectory_opt import KeyframeRecord, correct_trajectory
+    from vislam_tpu.backend.trajectory_opt import (
+        correct_trajectory, record_from_feat,
+    )
 
     calib = seq["calib"]
     c = cfg or SystemConfig()
@@ -73,14 +75,8 @@ def run_vio(seq, cfg=None, gt_scale=True, ba=False, vi_ba=False,
                 state = refine_window(state, eng.cfg, calib.fx, calib.fy,
                                       calib.cx, calib.cy)
             if loop_correct:
-                archive.append(KeyframeRecord(
-                    frame_index=j,
-                    R_wc=np.asarray(state.kf_R_wc),
-                    p_wc=np.asarray(state.kf_p_wc),
-                    uv=np.asarray(state.kf_feat.uv),
-                    desc=np.asarray(state.kf_feat.desc),
-                    kp_mask=np.asarray(state.kf_feat.mask),
-                ))
+                archive.append(record_from_feat(
+                    j, state.kf_R_wc, state.kf_p_wc, state.kf_feat))
         poses.append(np.asarray(state.p_wc))
     wall = time.perf_counter() - t0
     poses = np.array(poses)
@@ -98,6 +94,36 @@ def run_vio(seq, cfg=None, gt_scale=True, ba=False, vi_ba=False,
     return out
 
 
+HISTORY_PATH = "/root/repo/EVAL_HISTORY.json"
+
+# LONGITUDINAL PINNING (round-3, VERDICT weak #6): every config id below is
+# frozen — seeds, frame counts, landmark counts, and motion amplitudes must
+# NOT change between rounds, so EVAL.md rows stay comparable. If a config
+# must change, give it a NEW id and keep the old one. Results are appended
+# to EVAL_HISTORY.json per round and EVAL.md shows the previous round's
+# value next to each current one.
+PINNED = {
+    "1": "seed 0, 80 frames, 300 landmarks",
+    "2": "seed 0, 80 frames, 300 landmarks (same sequence as #1)",
+    "3": "seed 1, 60 frames, 350 landmarks, trans (2.0,1.4,0.7), rot (0.12,0.15,0.3)",
+    "4": "seed 21, 86 frames, 300 landmarks",
+    "5": "seeds 0-7, 24 frames, 250 landmarks",
+}
+
+
+def _load_history():
+    if os.path.exists(HISTORY_PATH):
+        with open(HISTORY_PATH) as fh:
+            return json.load(fh)
+    return {}
+
+
+def _fmt_prev(prev, key, scale=1.0):
+    if prev is None or key not in prev:
+        return "—"
+    return f"{float(prev[key]) * scale:.3f}"
+
+
 def main():
     import jax
 
@@ -106,6 +132,16 @@ def main():
 
     from vislam_tpu.data import SyntheticConfig, make_synthetic_sequence
     from vislam_tpu.eval import ate_rmse
+
+    history = _load_history()
+    this_hint = os.environ.get("EVAL_ROUND")
+    # Re-runs within a round must compare against the round BEFORE, not the
+    # half-written entry of the current one.
+    rounds = sorted(k for k in history.keys() if k != this_hint)
+    prev_label = rounds[-1] if rounds else None
+    this_label = os.environ.get(
+        "EVAL_ROUND",
+        f"r{(int(prev_label[1:]) + 1) if prev_label else 1:02d}")
 
     results = {}
 
@@ -146,22 +182,22 @@ def main():
     r_photo = run_vio(seq3, gt_scale=True, photometric=True)
     r_ba = run_vio(seq3, gt_scale=True, ba=True)
     r_vi_open = run_vio(seq3, gt_scale=False)
-    r_vi_ba = run_vio(seq3, gt_scale=False, vi_ba=True)
+    r_vi_ba = run_vio(seq3, gt_scale=False, vi_ba=True)  # 'ends' default
     import dataclasses as _dc
 
     from vislam_tpu.utils.config import SystemConfig as _SC
 
-    _c_ends = _SC()
-    _c_ends = _dc.replace(_c_ends, backend=_dc.replace(
-        _c_ends.backend, online_gauge="ends"))
-    r_vi_ba_ends = run_vio(seq3, cfg=_c_ends, gt_scale=False, vi_ba=True)
+    _c_marg = _SC()
+    _c_marg = _dc.replace(_c_marg, backend=_dc.replace(
+        _c_marg.backend, online_gauge="marg"))
+    r_vi_ba_marg = run_vio(seq3, cfg=_c_marg, gt_scale=False, vi_ba=True)
     results["3_aggressive"] = {
         "ate_plain": ate_rmse(r_plain["poses"], r_plain["gt"], align=False),
         "ate_photometric": ate_rmse(r_photo["poses"], r_photo["gt"], align=False),
         "ate_online_ba": ate_rmse(r_ba["poses"], r_ba["gt"], align=False),
         "ate_vi_open_loop": ate_rmse(r_vi_open["poses"], r_vi_open["gt"], align=False),
-        "ate_vi_online_ba_marg": ate_rmse(r_vi_ba["poses"], r_vi_ba["gt"], align=False),
-        "ate_vi_online_ba_ends": ate_rmse(r_vi_ba_ends["poses"], r_vi_ba_ends["gt"], align=False),
+        "ate_vi_online_ba_ends": ate_rmse(r_vi_ba["poses"], r_vi_ba["gt"], align=False),
+        "ate_vi_online_ba_marg": ate_rmse(r_vi_ba_marg["poses"], r_vi_ba_marg["gt"], align=False),
     }
 
     # 4. Loop trajectory + pose-graph correction (config #4 analog).
@@ -204,6 +240,16 @@ def main():
 
     print(json.dumps(results, indent=2, default=float))
 
+    # Append to the longitudinal history (configs are pinned; see PINNED).
+    history[this_label] = json.loads(json.dumps(results, default=float))
+    with open(HISTORY_PATH, "w") as fh:
+        json.dump(history, fh, indent=1)
+
+    prev = history.get(prev_label, {}) if prev_label else {}
+
+    def p(cfg_key, field):
+        return _fmt_prev(prev.get(cfg_key), field)
+
     with open("/root/repo/EVAL.md", "w") as fh:
         fh.write("# Evaluation configs (BASELINE.json analogs, synthetic oracle)\n\n")
         fh.write(
@@ -211,39 +257,61 @@ def main():
             "egress); each config runs the corresponding regime on the\n"
             "synthetic oracle generator (exact GT). The CLI reads the real\n"
             "dataset formats, so these harnesses run unchanged on real data.\n\n"
+            "Configs are PINNED (seeds/shapes frozen; scripts/eval_configs.py\n"
+            f"PINNED table) and every row carries the previous round's value\n"
+            f"({prev_label or 'none'}) so regressions are visible at a\n"
+            "glance. Full per-round numbers: EVAL_HISTORY.json.\n\n"
         )
-        fh.write("| # | config | result |\n|---|---|---|\n")
+        fh.write(f"| # | config | result ({this_label}) | previous "
+                 f"({prev_label or '—'}) |\n|---|---|---|---|\n")
         r1 = results["1_mono_gt_scale"]
-        fh.write(f"| 1 | monocular odometry, GT scale, 80 frames | ATE {r1['ate']:.3f} m |\n")
+        fh.write(f"| 1 | monocular odometry, GT scale, 80 frames | "
+                 f"ATE {r1['ate']:.3f} m | {p('1_mono_gt_scale', 'ate')} |\n")
         r2 = results["2_visual_inertial_imu_scale"]
+        k2 = "2_visual_inertial_imu_scale"
         fh.write(
             f"| 2 | visual-inertial, IMU (GT-free) scale: open-loop / "
-            f"+VI-BA | ATE {r2['ate']:.3f} m (scale {r2['scale_ratio']:.3f}) "
-            f"/ ATE {r2['ate_vi_ba']:.3f} m (scale "
-            f"{r2['scale_ratio_vi_ba']:.3f}) |\n"
+            f"+VI-BA (the default GT-free mode) | ATE {r2['ate']:.3f} m "
+            f"(scale {r2['scale_ratio']:.3f}) / ATE {r2['ate_vi_ba']:.3f} m "
+            f"(scale {r2['scale_ratio_vi_ba']:.3f}) | {p(k2, 'ate')} / "
+            f"{p(k2, 'ate_vi_ba')} |\n"
         )
         r3 = results["3_aggressive"]
         fh.write(
             f"| 3 | aggressive motion, GT scale: plain / +photometric / "
             f"+online-BA | ATE {r3['ate_plain']:.3f} / "
             f"{r3['ate_photometric']:.3f} / {r3['ate_online_ba']:.3f} m "
-            f"(GT-scale online BA neutral by design: gauge pins the anchor; "
-            f"anchor-refining gauge measured 0.115→1.23 here) |\n"
+            f"(GT-scale online BA neutral by design: gauge pins the anchor) "
+            f"| {p('3_aggressive', 'ate_plain')} / "
+            f"{p('3_aggressive', 'ate_photometric')} / "
+            f"{p('3_aggressive', 'ate_online_ba')} |\n"
         )
         fh.write(
             f"| 3b | aggressive motion, IMU (GT-free) scale: open-loop / "
-            f"+online VI-BA marg gauge (default) / ends gauge (--gauge ends) "
+            f"+online VI-BA ends gauge (default) / marg gauge (--gauge marg) "
             f"| ATE {r3['ate_vi_open_loop']:.3f} -> "
-            f"{r3['ate_vi_online_ba_marg']:.3f} / "
-            f"{r3['ate_vi_online_ba_ends']:.3f} m (gauge choice is "
-            f"regime-dependent — marg wins gentle motion + drifting bias, "
-            f"ends wins aggressive translation; BENCH_NOTES round 3) |\n"
+            f"{r3['ate_vi_online_ba_ends']:.3f} / "
+            f"{r3['ate_vi_online_ba_marg']:.3f} m ('ends' default since "
+            f"round 3: never loses to open-loop on the 5-scenario ensemble; "
+            f"BENCH_NOTES) | {p('3_aggressive', 'ate_vi_open_loop')} -> "
+            f"{p('3_aggressive', 'ate_vi_online_ba_ends')} / "
+            f"{p('3_aggressive', 'ate_vi_online_ba_marg')} |\n"
         )
         r4 = results["4_loop_correction"]
-        fh.write(f"| 4 | loop closure + pose graph | {r4['n_loops']} loops; max kf err {r4['kf_maxerr_before']:.3f} -> {r4['kf_maxerr_after']:.3f} m |\n")
+        fh.write(
+            f"| 4 | loop closure + pose graph | {r4['n_loops']} loops; "
+            f"max kf err {r4['kf_maxerr_before']:.3f} -> "
+            f"{r4['kf_maxerr_after']:.3f} m | "
+            f"{p('4_loop_correction', 'kf_maxerr_before')} -> "
+            f"{p('4_loop_correction', 'kf_maxerr_after')} |\n")
         r5 = results["5_multi_sequence_batch"]
-        fh.write(f"| 5 | {r5['n_sequences']}-sequence batch (vmap; mesh-shard validated) | ATE mean {r5['ate_mean']:.3f} / max {r5['ate_max']:.3f} m |\n")
-    print("wrote EVAL.md")
+        fh.write(
+            f"| 5 | {r5['n_sequences']}-sequence batch (vmap; mesh-shard "
+            f"validated) | ATE mean {r5['ate_mean']:.3f} / max "
+            f"{r5['ate_max']:.3f} m | "
+            f"{p('5_multi_sequence_batch', 'ate_mean')} / "
+            f"{p('5_multi_sequence_batch', 'ate_max')} |\n")
+    print(f"wrote EVAL.md ({this_label}, previous {prev_label})")
 
 
 if __name__ == "__main__":

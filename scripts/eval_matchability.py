@@ -38,10 +38,12 @@ def main():
 
     n_frames = int(os.environ.get("MATCHABILITY_FRAMES", "16"))
     systems = [
-        ("tpu shi_tomasi+sift", dict(fcfg=FrontendConfig())),
+        # Default frontend = shi_tomasi+sift, 2-level multi-scale since
+        # round 3 (full fine budget + coarse extra capacity, K=768).
+        ("tpu shi_tomasi+sift (default)", dict(fcfg=FrontendConfig())),
+        ("tpu shi_tomasi single-scale", dict(
+            fcfg=FrontendConfig(levels_used=1))),
         ("tpu dog+sift", dict(fcfg=FrontendConfig(detector="dog"))),
-        ("tpu dog+sift multi-scale", dict(fcfg=FrontendConfig(detector="dog",
-                                                              levels_used=2))),
         ("tpu fast+brief (AKAZE-ish)", dict(fcfg=FrontendConfig(
             detector="fast", descriptor="brief"))),
         ("tpu dog+sift guided(30px)", dict(fcfg=FrontendConfig(detector="dog"),

@@ -159,7 +159,11 @@ def test_multilevel_extraction():
     seq = make_synthetic_sequence(SyntheticConfig(n_frames=2, n_landmarks=250, seed=1))
     cfg2 = dataclasses.replace(CFG, levels_used=2)
     f = extract_features(jnp.asarray(seq["images"][0], jnp.float32), cfg2)
-    assert f.uv.shape[0] == 2 * CFG.max_keypoints
+    # Round-3 budget semantics: level 0 keeps the full per-cell budget,
+    # coarser levels add kp_per_cell_coarse extra capacity.
+    cells = cfg2.grid_rows * cfg2.grid_cols
+    assert f.uv.shape[0] == cfg2.max_keypoints == cells * (
+        cfg2.kp_per_cell + cfg2.kp_per_cell_coarse)
     lv = np.asarray(f.level)
     m = np.asarray(f.mask)
     assert (lv[m] == 0).any() and (lv[m] == 1).any()

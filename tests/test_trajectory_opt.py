@@ -5,7 +5,9 @@ check the drift shrinks."""
 import numpy as np
 import pytest
 
-from vislam_tpu.backend.trajectory_opt import KeyframeRecord, correct_trajectory
+from vislam_tpu.backend.trajectory_opt import (
+    KeyframeRecord, correct_trajectory, record_from_feat,
+)
 from vislam_tpu.data import SyntheticConfig, make_synthetic_sequence
 from vislam_tpu.engine import VIOEngine
 
@@ -20,12 +22,7 @@ def loop_run():
         seq["images"][0], q_wb0=seq["gt_quat"][0],
         v_w0=seq["gt_vel"][0], p_w0=seq["gt_pos"][0],
     )
-    kfs = [KeyframeRecord(
-        frame_index=0,
-        R_wc=np.asarray(state.kf_R_wc), p_wc=np.asarray(state.kf_p_wc),
-        uv=np.asarray(state.kf_feat.uv), desc=np.asarray(state.kf_feat.desc),
-        kp_mask=np.asarray(state.kf_feat.mask),
-    )]
+    kfs = [record_from_feat(0, state.kf_R_wc, state.kf_p_wc, state.kf_feat)]
     kf_gt = [seq["gt_pos"][0]]
     last_kf = 0
     for j in range(1, 86):
@@ -38,12 +35,8 @@ def loop_run():
         state, res = eng.step(state, seq["images"][j], imu, dt, gt_norm)
         if bool(res.is_keyframe):
             last_kf = j
-            kfs.append(KeyframeRecord(
-                frame_index=j,
-                R_wc=np.asarray(state.kf_R_wc), p_wc=np.asarray(state.kf_p_wc),
-                uv=np.asarray(state.kf_feat.uv), desc=np.asarray(state.kf_feat.desc),
-                kp_mask=np.asarray(state.kf_feat.mask),
-            ))
+            kfs.append(record_from_feat(
+                j, state.kf_R_wc, state.kf_p_wc, state.kf_feat))
             kf_gt.append(seq["gt_pos"][j])
     return seq, kfs, np.array(kf_gt)
 

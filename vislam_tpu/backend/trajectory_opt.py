@@ -41,6 +41,25 @@ class KeyframeRecord(NamedTuple):
     kp_mask: np.ndarray  # (K,)
 
 
+def record_from_feat(frame_index: int, R_wc, p_wc, feat) -> "KeyframeRecord":
+    """Archive entry from an engine Features pytree.
+
+    Only FINE-level (level-0) keypoints stay valid: the archive feeds
+    metric PnP (loop edges, relocalization), and coarse-level keypoints'
+    2-4 px level-0 localization measurably degrades the solves (round 3:
+    loop correction err 0.31 -> 0.63 max with coarse points included).
+    Detection/matching still benefit from multi-scale inside the engine.
+    """
+    mask = np.asarray(feat.mask)
+    lv = np.asarray(feat.level)
+    return KeyframeRecord(
+        frame_index=frame_index,
+        R_wc=np.asarray(R_wc), p_wc=np.asarray(p_wc),
+        uv=np.asarray(feat.uv), desc=np.asarray(feat.desc),
+        kp_mask=mask & (lv == 0),
+    )
+
+
 def measure_relative_pose(
     ka: KeyframeRecord, kn: KeyframeRecord,
     desc_b, kp_mask_b, uv_b,
@@ -235,13 +254,8 @@ def keyframes_from_scan(images, results, fcfg,
     for k in np.nonzero(is_kf)[0]:
         k = int(k)
         f = extract_features(_jnp.asarray(images[k], _jnp.float32), fcfg)
-        recs.append(KeyframeRecord(
-            frame_index=frame_offset + k,
-            R_wc=np.asarray(results.R_wc[k]),
-            p_wc=np.asarray(results.p_wc[k]),
-            uv=np.asarray(f.uv), desc=np.asarray(f.desc),
-            kp_mask=np.asarray(f.mask),
-        ))
+        recs.append(record_from_feat(
+            frame_offset + k, results.R_wc[k], results.p_wc[k], f))
     return recs
 
 

@@ -67,6 +67,12 @@ def main(argv=None):
                          "--loop-correct sees its keyframes too")
     ap.add_argument("--ba", action="store_true",
                     help="run sliding-window bundle adjustment on each keyframe")
+    ap.add_argument("--open-loop", action="store_true",
+                    help="disable the window BA that --imu-scale enables by "
+                         "default (round 3: GT-free runs default to online "
+                         "VI-BA with the 'ends' gauge — never loses to "
+                         "open-loop on the BENCH_NOTES ensemble — which also "
+                         "activates online IMU-bias estimation)")
     ap.add_argument("--vi-ba", action="store_true",
                     help="add preintegrated-IMU factors to the window BA "
                          "(visual-inertial BA: scale/gravity/velocity become "
@@ -121,9 +127,13 @@ def main(argv=None):
     if args.resume and not args.checkpoint:
         ap.error("--resume requires --checkpoint")
 
-    # Visual-inertial BA whenever requested, and by default when BA runs in
-    # the GT-free (IMU-scale) mode — that's exactly when scale needs the
-    # IMU factors.
+    # GT-free (IMU-scale) runs default to online VI-BA: the 'ends'-gauge
+    # window BA never loses to open-loop on the round-3 ensemble and brings
+    # online accel/gyro-bias estimation to the default path (--open-loop
+    # opts out). Visual-inertial factors whenever BA runs GT-free — that's
+    # exactly when scale needs the IMU factors.
+    if not args.gt_scale and not args.open_loop:
+        args.vi_ba = True
     use_vi_ba = args.vi_ba or (args.ba and not args.gt_scale)
     args.ba = args.ba or args.vi_ba  # --vi-ba alone implies window BA
 
@@ -204,15 +214,12 @@ def main(argv=None):
     def archive_keyframe(state, frame_index):
         if not (args.loop_correct or args.reloc or args.save_map):
             return
-        from vislam_tpu.backend.trajectory_opt import KeyframeRecord
+        from vislam_tpu.backend.trajectory_opt import record_from_feat
 
-        kf_archive.append(KeyframeRecord(
-            frame_index=frame_index,
-            R_wc=np.asarray(state.kf_R_wc), p_wc=np.asarray(state.kf_p_wc),
-            uv=np.asarray(state.kf_feat.uv),
-            desc=np.asarray(state.kf_feat.desc),
-            kp_mask=np.asarray(state.kf_feat.mask),
-        ))
+        # Fine-level keypoints only (coarse localization degrades the
+        # loop/reloc PnP; see record_from_feat).
+        kf_archive.append(record_from_feat(
+            frame_index, state.kf_R_wc, state.kf_p_wc, state.kf_feat))
 
     live = None
     if args.live_viz:
@@ -384,8 +391,14 @@ def main(argv=None):
 
         cfg = _with_frontend(SystemConfig())
         if args.vision_rotation or args.format == "kitti":
+            # Vision-only rotation (essential matrix) needs fine keypoint
+            # localization: coarse-level keypoints (2-4 px quantization)
+            # measurably break the 8-point solve (seed-swept: ATE 0.8 -> 3.6,
+            # keyframes 8 -> 0 on the worst draw) — single-scale here.
             cfg = dataclasses.replace(
-                cfg, engine=dataclasses.replace(cfg.engine, vision_rotation=True)
+                cfg,
+                engine=dataclasses.replace(cfg.engine, vision_rotation=True),
+                frontend=dataclasses.replace(cfg.frontend, levels_used=1),
             )
         if args.photometric:
             cfg = dataclasses.replace(

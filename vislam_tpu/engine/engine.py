@@ -332,14 +332,16 @@ class VIOEngine:
             pre_acc = compose(acc, pre, dt_b=T)
             pre_acc = pre_acc._replace(dR=lie.orthonormalize(pre_acc.dR))
 
-            # Rolling gyro-bias recalibration on quasi-static frames (role
-            # of /root/reference/src/Imu.cpp:423-428). Stillness detection
-            # is variance-based within this frame's IMU window (invariant to
-            # the bias itself); a magnitude bound on the de-biased mean rate
-            # rejects constant-rate rotation. The accumulated factor is
-            # first-order re-corrected so its linearization point tracks
-            # the updated bias.
+            # Rolling gyro + accel bias recalibration on quasi-static frames
+            # (role of /root/reference/src/Imu.cpp:423-428 and the gravity-
+            # removal accel calibration of Imu.cpp:125-163, made in-run).
+            # Stillness detection is variance-based within this frame's IMU
+            # window (invariant to the bias itself); a magnitude bound on
+            # the de-biased mean rate rejects constant-rate rotation. The
+            # accumulated factor is first-order re-corrected so its
+            # linearization point tracks the updated biases.
             bias_g_new = state.bias_g
+            bias_a_new = state.bias_a
             if en.gyro_recalib and not en.vision_rotation:
                 w_raw = imu[:, :3]
                 a_raw = imu[:, 3:]
@@ -364,7 +366,26 @@ class VIOEngine:
                     still, en.recalib_alpha * (w_mean - state.bias_g), 0.0
                 )
                 bias_g_new = state.bias_g + dbg
-                pre_acc = bias_correct(pre_acc, dbg, jnp.zeros(3, jnp.float32))
+                # Gravity-anchored accel-bias EMA (round 3): at stillness
+                # the accelerometer should read the reaction to gravity in
+                # body coords, R_wb^T (0,0,+g); the residual of the window
+                # mean against that is the accel bias. Uses the filter
+                # attitude (gravity-converged at stillness); a magnitude
+                # bound rejects gross attitude errors. Alpha below the gyro
+                # one — a roll/pitch error of e radians aliases g*e into
+                # this estimate.
+                dba = jnp.zeros(3, jnp.float32)
+                if en.accel_recalib:
+                    f_exp = R_wb_j.T @ (-g_w)     # (0,0,+g) in body coords
+                    ba_target = a_mean - f_exp
+                    ba_ok = still & (
+                        jnp.linalg.norm(ba_target - state.bias_a) < 0.5)
+                    dba = jnp.where(
+                        ba_ok,
+                        en.recalib_accel_alpha * (ba_target - state.bias_a),
+                        0.0)
+                    bias_a_new = state.bias_a + dba
+                pre_acc = bias_correct(pre_acc, dbg, dba)
             pre_dR_acc, pre_dv_acc, pre_dp_acc = (
                 pre_acc.dR, pre_acc.dv, pre_acc.dp
             )
@@ -427,8 +448,17 @@ class VIOEngine:
 
             # Solution quality gate (reference skips frames with too few
             # matches, VISystem.cpp:297): keep IMU-only pose when weak.
+            # Denominator = FINE-level (level-0) keyframe keypoints only:
+            # coarse levels are extra capacity with an intrinsically lower
+            # per-keypoint match rate (cross-octave duplicates die in the
+            # ratio test), so counting them starves the gate — measured:
+            # the multi-scale default cut keyframe promotions 40 -> 9 on the
+            # loop oracle with the all-levels denominator. Level-0-only
+            # keeps the gate's round-2 semantics exactly.
+            kf_valid_fine = jnp.sum(
+                state.kf_feat.mask & (state.kf_feat.level == 0))
             enough = num_matches >= jnp.maximum(
-                (en.min_feature_ratio * jnp.sum(state.kf_feat.mask)).astype(jnp.int32),
+                (en.min_feature_ratio * kf_valid_fine).astype(jnp.int32),
                 8,
             )
             solved = enough & (est_inliers >= 8)
@@ -510,7 +540,7 @@ class VIOEngine:
                 imu_J_p_bg=rolled.imu_J_p_bg.at[slot].set(pre_acc.J_dp_bg),
                 imu_J_p_ba=rolled.imu_J_p_ba.at[slot].set(pre_acc.J_dp_ba),
                 imu_bg_ref=rolled.imu_bg_ref.at[slot].set(bias_g_new),
-                imu_ba_ref=rolled.imu_ba_ref.at[slot].set(state.bias_a),
+                imu_ba_ref=rolled.imu_ba_ref.at[slot].set(bias_a_new),
             )
             new_window = jax.tree.map(sel, updated, win)
 
@@ -555,7 +585,7 @@ class VIOEngine:
                 q_wb=q_wb,
                 v_w=v_new,
                 bias_g=bias_g_new,
-                bias_a=state.bias_a,
+                bias_a=bias_a_new,
                 R_wc=jnp.where(solved, R_wc_j, R_wc_j_imu),
                 p_wc=p_wc_j,
                 kf_R_wc=sel(R_wc_j, state.kf_R_wc),

@@ -214,14 +214,21 @@ def detect_keypoints(
 ) -> Keypoints:
     """Detect fixed-capacity keypoints over `levels_used` pyramid levels.
 
-    Returns Keypoints with K = levels_used * grid_rows * grid_cols * kp_per_cell
-    rows; invalid rows (below the relative score floor) are masked out.
-    Coordinates are reported in level-0 pixels.
+    kp_per_cell may be an int (same budget every level) or a sequence of
+    per-level budgets (round-3 multi-scale: full budget at level 0, smaller
+    extra capacity at coarser levels). Returns Keypoints with
+    K = grid_rows * grid_cols * sum(per-level budgets) rows; invalid rows
+    (below the relative score floor) are masked out. Coordinates are
+    reported in level-0 pixels.
 
     use_pallas (shi_tomasi only) swaps the response+NMS stage for the fused
     VMEM-resident kernel (ops/harris_kernel.py); selection stays shared.
     """
     response_fn = DETECTOR_RESPONSES[detector]
+    if isinstance(kp_per_cell, int):
+        kp_by_level = (kp_per_cell,) * levels_used
+    else:
+        kp_by_level = tuple(kp_per_cell)
     all_uv, all_score, all_level, all_angle = [], [], [], []
     for lvl in range(levels_used):
         img = pyramid[lvl]
@@ -234,7 +241,8 @@ def detect_keypoints(
             # NMS ordering, and subpixel refinement in float32.
             full_resp = response_fn(img).astype(jnp.float32)
             resp = _nms(full_resp, nms_radius)
-        uv, score = _grid_topk(resp, grid_rows, grid_cols, kp_per_cell, border)
+        uv, score = _grid_topk(resp, grid_rows, grid_cols, kp_by_level[lvl],
+                               border)
         uv = _subpixel_refine(full_resp, uv)
         angle = _orientations(img, uv)
         scale = float(2 ** lvl)

@@ -57,7 +57,7 @@ def extract_features(image, cfg: FrontendConfig = FrontendConfig()) -> Features:
         pyr,
         grid_rows=cfg.grid_rows,
         grid_cols=cfg.grid_cols,
-        kp_per_cell=cfg.kp_per_cell,
+        kp_per_cell=cfg.kp_per_cell_by_level,
         nms_radius=cfg.nms_radius,
         min_score_rel=cfg.min_score,
         border=cfg.patch_size // 2 + 4,
@@ -70,10 +70,13 @@ def extract_features(image, cfg: FrontendConfig = FrontendConfig()) -> Features:
         from vislam_tpu.frontend.binary_desc import describe_binary as _describe
     else:
         _describe = describe_keypoints
-    K_per_level = kps.uv.shape[0] // cfg.levels_used
+    cells = cfg.grid_rows * cfg.grid_cols
     descs = []
+    off = 0
     for lvl in range(cfg.levels_used):
-        sl = slice(lvl * K_per_level, (lvl + 1) * K_per_level)
+        K_lvl = cells * cfg.kp_per_cell_by_level[lvl]
+        sl = slice(off, off + K_lvl)
+        off += K_lvl
         scale = float(2 ** lvl)
         descs.append(
             _describe(pyr[lvl].astype(jnp.float32), kps.uv[sl] / scale,

@@ -44,11 +44,26 @@ class FrontendConfig:
     #               the AKAZE analog)
     scale_space: str = "gaussian"
     num_levels: int = 4            # pyramid levels (reference builds 5, uses 4)
-    levels_used: int = 1           # levels detection+description run on
-                                   # (>1 = multi-scale, K multiplies)
+    # Levels detection+description run on. DEFAULT 2 since round 3 —
+    # matching the reference's multi-octave SURF default
+    # (/root/reference/src/Camera.cpp:104-116). Level 0 keeps its FULL
+    # per-cell budget and coarser levels add capacity (kp_per_cell_coarse),
+    # so K = 512 + 256 = 768. Measured (BENCH_NOTES round 3): +50% matches
+    # per pair at equal-or-better inlier rates on every adversarial regime,
+    # aggressive-motion ATE neutral (0.108 -> 0.107 — round 2's 4.8x
+    # regression was the shared-budget split, now gone), gentle ATE within
+    # noise (0.183 -> 0.199).
+    levels_used: int = 2
     grid_rows: int = 8
     grid_cols: int = 8
-    kp_per_cell: int = 8           # => max_keypoints = 8*8*8 = 512 per level
+    kp_per_cell: int = 8           # level-0 budget => 8*8*8 = 512 fine kpts
+    # Per-cell budget of the COARSER levels (levels_used > 1). Round-3
+    # design: coarse levels are EXTRA capacity on top of the full level-0
+    # budget — round 2 split one fixed K across levels (kp_per_cell 8 -> 4),
+    # which halved the fine-scale budget and made aggressive motion 4.8x
+    # worse (a budget artifact, not a scale-space trade-off). A coarse level
+    # has 1/4 the pixels, so half the fine per-cell budget is proportionate.
+    kp_per_cell_coarse: int = 4
     nms_radius: int = 2
     harris_k: float = 0.04
     min_score: float = 0.02        # relative corner-score floor (quality level)
@@ -115,8 +130,17 @@ class FrontendConfig:
     match_cell_cols: int = 7
 
     @property
+    def kp_per_cell_by_level(self):
+        """Per-level per-cell budgets: full at level 0, coarse above."""
+        return tuple(
+            self.kp_per_cell if lvl == 0 else self.kp_per_cell_coarse
+            for lvl in range(self.levels_used)
+        )
+
+    @property
     def max_keypoints(self) -> int:
-        return self.levels_used * self.grid_rows * self.grid_cols * self.kp_per_cell
+        cells = self.grid_rows * self.grid_cols
+        return cells * sum(self.kp_per_cell_by_level)
 
     @property
     def desc_dim(self) -> int:
@@ -261,6 +285,13 @@ class EngineConfig:
     recalib_accel_std: float = 0.10   # m/s^2 max in-window accel std
     recalib_accel_dev: float = 0.30   # m/s^2 max | |a| - g |
     recalib_alpha: float = 0.10       # EMA step toward the window mean
+    # Gravity-anchored accel-bias EMA at stillness (round 3; in-run role of
+    # the reference's gravity-removal accel calibration, Imu.cpp:125-163):
+    # bias target = window accel mean - R_wb^T (0,0,+g). Smaller alpha than
+    # the gyro EMA: a roll/pitch error of e rad aliases g*e into the
+    # estimate, so convergence is deliberately slower.
+    accel_recalib: bool = True
+    recalib_accel_alpha: float = 0.05
     # GT-free bootstrap (engine/bootstrap.py): once the window holds
     # vi_align_min_factors valid preintegrated factors in IMU-scale mode,
     # the VINS-style linear alignment recovers the monocular scale
@@ -288,4 +319,10 @@ class SystemConfig:
 
     @staticmethod
     def kitti() -> "SystemConfig":
-        return SystemConfig(image_height=376, image_width=1280)
+        # Single-scale: KITTI runs vision-only rotation (essential matrix),
+        # which needs fine keypoint localization — coarse-level keypoints
+        # measurably break the 8-point solve (see cli.py).
+        return SystemConfig(
+            image_height=376, image_width=1280,
+            frontend=FrontendConfig(levels_used=1),
+        )
