@@ -4,16 +4,20 @@ Decides the use_pallas_detector / use_pallas_matcher defaults with measured
 device time at production shapes (768x480 frame, K=512, D=128), per VERDICT
 round-1 weak #1.
 
-Methodology (the axon tunnel bites twice here):
-  - scan-amortized: ITERS serial iterations inside ONE dispatch, so the
-    per-dispatch tunnel latency (~0.05-15 ms, heavy-tailed) divides out;
-  - all device data passed as ARGUMENTS (a closed-over device buffer is
-    re-uploaded per dispatch, ~5-15 ms each — the 313x rule);
-  - candidates interleaved round-robin and the MINIMUM of many reps taken:
-    the tunnel occasionally enters a pathological slow mode (measured: the
-    same cached scan 0.2 ms vs 1291 ms per dispatch in different runs), so
-    medians across a polluted run still lie; minima estimate the true
-    device time.
+Methodology (round-3 forensic rewrite; BENCH_NOTES "The enqueue
+illusion"): block_until_ready DOES NOT WAIT on this backend, so all earlier
+runs of this script measured the async enqueue rate. Now:
+  - scan-amortized: ITERS serial data-dependent iterations inside ONE
+    program (divides out dispatch overhead; iterations execute serially
+    because the carry chains);
+  - each loop returns ONE SCALAR derived from the final carry, and timing
+    runs dispatch -> np.asarray(scalar) — the host fetch is the only
+    completion barrier this backend honors (~25 ms RTT, amortized over
+    ITERS iterations);
+  - candidates interleaved round-robin, min and median reported.
+Under this runtime's ~0.1 ms/op execution overhead, fused Pallas kernels
+that collapse many ops into one are exactly what gets rewarded — this
+re-measurement reverses the round-2 "XLA at least as fast" verdict.
 """
 
 import json
@@ -58,7 +62,8 @@ def main():
                 f = extract_features(c, fc)
                 # Consume uv AND desc so neither detect nor describe is DCE'd.
                 return c + 1e-9 * (f.score[0] + f.desc[0, 0]), f.uv[0, 0]
-            return jax.lax.scan(body, im, None, length=ITERS)
+            c, ys = jax.lax.scan(body, im, None, length=ITERS)
+            return jnp.sum(c[::64, ::64]) + jnp.sum(ys)  # one scalar output
         return jax.jit(loop), (img,)
 
     def match_loop(use_pallas, gated):
@@ -66,8 +71,9 @@ def main():
             def body(c, _):
                 kw = dict(uv_pred=u, uv_b=u, gate_radius=40.0) if gated else {}
                 mt = match_descriptors(c, m, y, m, use_pallas=use_pallas, **kw)
-                return x + 1e-9 * mt.dist[0], mt.dist[0]
-            return jax.lax.scan(body, x, None, length=ITERS)
+                return c + 1e-9 * mt.dist[0], mt.dist[0]
+            c, ys = jax.lax.scan(body, x, None, length=ITERS)
+            return jnp.sum(c[0]) + jnp.sum(ys)  # one scalar output
         return jax.jit(loop), (da, db, ma_j, uv_j)
 
     cases = {
@@ -79,17 +85,17 @@ def main():
         "match_pallas_gated": match_loop(True, True),
     }
 
-    # Compile everything first.
+    # Compile everything first (fetch-forced settle).
     for name, (fn, args) in cases.items():
-        jax.block_until_ready(fn(*args))
+        np.asarray(fn(*args))
         print(f"compiled {name}", flush=True)
 
-    # Interleaved reps; keep per-rep times.
+    # Interleaved reps; fetch-forced completion per rep.
     times = {name: [] for name in cases}
-    for rep in range(9):
+    for rep in range(5):
         for name, (fn, args) in cases.items():
             t0 = time.perf_counter()
-            jax.block_until_ready(fn(*args))
+            np.asarray(fn(*args))
             times[name].append((time.perf_counter() - t0) / ITERS)
 
     results = {}

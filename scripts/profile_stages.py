@@ -1,12 +1,13 @@
 """Per-stage device timing of the VIO step's components (run on real TPU).
 
-Identifies where the microseconds go: detection, description, matching,
-RANSAC, inertial scan. Methodology (see CLAUDE.md rule 7): each stage runs
-ITERS serial iterations inside ONE dispatch (lax.scan with a serializing
-carry), all data passed as arguments, minimum over reps reported — the axon
-tunnel's per-dispatch latency (0.05-15 ms, heavy-tailed, with a pathological
-slow mode) otherwise swamps stages that really cost single-digit
-microseconds.
+Identifies where the milliseconds go: detection, description, matching,
+RANSAC, inertial scan. Methodology (round-3 forensic rewrite; BENCH_NOTES
+"The enqueue illusion"): block_until_ready does NOT wait on this backend —
+each stage runs ITERS serial iterations inside ONE program (serializing
+carry), and completion is forced by a HOST FETCH of the final carry slice,
+the only barrier the backend honors. Honest per-stage costs on this
+runtime are ~2-15 ms (per-op execution overhead dominated), not the
+microseconds earlier revisions reported.
 """
 
 import os
@@ -51,12 +52,17 @@ def main():
                 return c + jnp.asarray(1e-9 * r, c.dtype), r
             return jax.lax.scan(body, a0, None, length=ITERS)
 
+        def force(out):
+            c, ys = out
+            # Fetch a tiny slice of the final carry: forces the whole chain.
+            np.asarray(jax.tree.leaves(c)[0]).ravel()[:1]
+
         fn = jax.jit(loop)
-        jax.block_until_ready(fn(*args))
+        force(fn(*args))
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            jax.block_until_ready(fn(*args))
+            force(fn(*args))
             ts.append((time.perf_counter() - t0) / ITERS)
         print(f"{name:<30} {min(ts) * 1e6:8.2f} us  (med {np.median(ts) * 1e6:8.2f})",
               flush=True)
