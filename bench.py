@@ -193,6 +193,49 @@ def bench_interleaved(candidates: dict, reps: int = 3, warmups: int = 1):
     return out
 
 
+def bench_host_loop(seq, n_steps: int = 48, reps: int = 2) -> float:
+    """ONLINE host-loop throughput (round 4): one engine dispatch per frame
+    with native-uint8 image upload, packed 33-float results fetched in
+    4-frame one-RPC bursts (the CLI's pipelined loop). This is the mode a
+    live camera feeds — the VERDICT r03 criterion is >= 20 fps (the EUROC
+    camera rate, /root/reference/calibration/calibrationEUROC.xml:44);
+    r03 measured 3.5 fps (one fetch per FrameResult leaf)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vislam_tpu.engine import VIOEngine
+
+    eng = VIOEngine(seq["calib"], _pinned_cfg())
+    state0 = eng.initialize(
+        seq["images"][0], q_wb0=seq["gt_quat"][0],
+        v_w0=seq["gt_vel"][0], p_w0=seq["gt_pos"][0],
+    )
+    imu = np.zeros((16, 6), np.float32)
+    imu[:10] = np.concatenate([seq["imu_gyro"][:10], seq["imu_accel"][:10]], -1)
+    dt = np.zeros(16, np.float32)
+    dt[:10] = 1 / 200.0
+    kf0 = np.asarray(seq["gt_pos"][0], np.float32)
+    imgs = [np.asarray(im) for im in seq["images"][1:]]
+
+    best = 0.0
+    for _ in range(reps + 1):  # first rep is the warmup/compile
+        s, kf = state0, kf0
+        pending = []
+        t0 = time.perf_counter()
+        for j in range(n_steps):
+            img = imgs[j % len(imgs)]
+            s, kf, flat = eng.step_pipelined(
+                s, kf, img, imu, dt, seq["gt_pos"][(j + 1) % len(imgs)], 1.0)
+            pending.append(flat)
+            if len(pending) >= 4:
+                np.asarray(jnp.stack(pending))
+                pending = []
+        if pending:
+            np.asarray(jnp.stack(pending))
+        best = max(best, n_steps / (time.perf_counter() - t0))
+    return best
+
+
 def bench_reference_cpu(seq, n_steps: int = 12) -> float:
     """Reference algorithmics (SIFT + BF 2NN x2 + ratio + symmetry + RANSAC)
     on this host CPU via OpenCV — the stand-in for the reference's unpublished
@@ -339,6 +382,7 @@ def main():
         "batch32": make_batch_candidate(B=32),
     }
     fps = bench_interleaved(candidates)
+    host_fps = bench_host_loop(seq)
     base = bench_reference_cpu(seq)
     flops_frame, bytes_frame = step_cost(seq)
     flops_def, _bytes_def = step_cost(seq, default_frontend=True)
@@ -359,6 +403,9 @@ def main():
                 "slam_scan_fps": round(fps["slam_scan"][0], 2),
                 "batch8_fps": round(fps["batch8"][0], 2),
                 "batch32_fps": round(fps["batch32"][0], 2),
+                # Online (one dispatch/frame, burst-fetched results) — the
+                # live-camera mode; >= 20 keeps up with the EUROC rate.
+                "host_loop_fps": round(host_fps, 2),
                 "baseline_cpu_fps": round(base, 2),
                 # HONESTY NOTE (round 3): these are fetch-forced REAL
                 # execution rates. All previously recorded values (r01

@@ -50,6 +50,47 @@ def test_checkpoint_roundtrip(tmp_path):
     assert np.isfinite(np.asarray(res.p_wc)).all()
 
 
+def test_checkpoint_legacy_migration(tmp_path):
+    """A checkpoint saved BEFORE EngineState grew a trailing field (e.g.
+    vi_aligned, added round 3) must still load, filling the new field from
+    its registered default (round-4 advisor fix)."""
+    import jax
+
+    from vislam_tpu.engine import VIOEngine
+    from vislam_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    seq = make_synthetic_sequence(SyntheticConfig(n_frames=4, n_landmarks=80, seed=6))
+    eng = VIOEngine(seq["calib"])
+    state = eng.initialize(seq["images"][0], q_wb0=seq["gt_quat"][0])
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(path, state, frame_index=3)
+
+    # Rewrite the file as a pre-versioning checkpoint: positional keys
+    # only (no __paths), with the trailing vi_aligned leaf dropped.
+    data = dict(np.load(path))
+    paths = [str(p) for p in data.pop("__paths")]
+    drop = [i for i, p in enumerate(paths) if "vi_aligned" in p]
+    assert len(drop) == 1
+    n = sum(1 for k in data if k.startswith("leaf_"))
+    legacy = {"__frame_index": data["__frame_index"]}
+    j = 0
+    for i in range(n):
+        if i in drop:
+            continue
+        legacy[f"leaf_{j}"] = data[f"leaf_{i}"]
+        j += 1
+    legacy_path = str(tmp_path / "legacy.npz")
+    np.savez(legacy_path, **legacy)
+
+    state2, fidx = load_checkpoint(legacy_path)
+    assert fidx == 3
+    assert bool(np.asarray(state2.vi_aligned)) is False
+    # All surviving leaves intact.
+    l_old = jax.tree.leaves(state)
+    l_new = jax.tree.leaves(state2)
+    assert len(l_old) == len(l_new)
+
+
 @pytest.fixture
 def kitti_fixture(tmp_path):
     import cv2

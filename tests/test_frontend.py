@@ -257,3 +257,55 @@ def test_epipolar_normals_orthogonal_to_t(rng):
     t_j /= np.linalg.norm(t_j)
     dots = np.abs(np.asarray(n) @ t_j)
     assert np.percentile(dots, 95) < 1e-4
+
+
+def test_patch_descriptor_matches_fullimage_oracle(rng):
+    """The round-4 patch-based descriptor path (dynamic-slice patches +
+    in-patch shift convs + separable one-hot bilinear sampling on the MXU)
+    must reproduce the full-image conv+gather formulation exactly for
+    interior keypoints — the rewrite is a runtime optimization, not a
+    semantics change."""
+    from vislam_tpu.frontend.descriptor import (
+        DESC_DIM, _NBINS, _OFFS, _WSP, _bilinear_gather, describe_keypoints)
+    from vislam_tpu.frontend.pyramid import gaussian_blur, scharr_gradients
+
+    H, W, K = 240, 320, 48
+    img = jnp.asarray(rng.uniform(0, 255, (H, W)).astype(np.float32))
+    uv = jnp.asarray(np.stack([
+        rng.uniform(30, W - 30, K), rng.uniform(30, H - 30, K)], -1
+    ).astype(np.float32))
+    angle = jnp.asarray(rng.uniform(-np.pi, np.pi, K).astype(np.float32))
+
+    def oracle(img, uv, angle, smooth_sigma=0.6):
+        img_s = gaussian_blur(img, smooth_sigma, radius=2)
+        gx, gy = scharr_gradients(img_s)
+        ca, sa = jnp.cos(angle), jnp.sin(angle)
+        offs = jnp.asarray(_OFFS)
+        rx = ca[:, None] * offs[None, :, 0] - sa[:, None] * offs[None, :, 1]
+        ry = sa[:, None] * offs[None, :, 0] + ca[:, None] * offs[None, :, 1]
+        coords = uv[:, None, :] + jnp.stack([rx, ry], -1)
+        gxs = _bilinear_gather(gx, coords)
+        gys = _bilinear_gather(gy, coords)
+        gxr = ca[:, None] * gxs + sa[:, None] * gys
+        gyr = -sa[:, None] * gxs + ca[:, None] * gys
+        mag = jnp.sqrt(gxr * gxr + gyr * gyr + 1e-12)
+        ori = jnp.arctan2(gyr, gxr)
+        obin = (ori / (2 * jnp.pi) + 0.5) * _NBINS - 0.5
+        o0 = jnp.floor(obin)
+        do = obin - o0
+        o0i = jnp.mod(o0.astype(jnp.int32), _NBINS)
+        o1i = jnp.mod(o0i + 1, _NBINS)
+        eye = jnp.eye(_NBINS, dtype=jnp.float32)
+        O = (1.0 - do)[..., None] * eye[o0i] + do[..., None] * eye[o1i]
+        M = mag[..., None] * O
+        d = jnp.einsum("ksb,sc->kcb", M, jnp.asarray(_WSP),
+                       preferred_element_type=jnp.float32).reshape(K, DESC_DIM)
+        d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-9)
+        d = jnp.minimum(d, 0.2)
+        return d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-9)
+
+    d_new = np.asarray(describe_keypoints(img, uv, angle))
+    d_old = np.asarray(oracle(img, uv, angle))
+    cos = (d_new * d_old).sum(-1)
+    assert np.abs(d_new - d_old).max() < 1e-4
+    assert cos.min() > 0.9999

@@ -122,10 +122,15 @@ def vi_align_window(state: EngineState, R_bc, gravity: float,
         & jnp.all(jnp.isfinite(align.velocities))
         & jnp.isfinite(r_fit) & jnp.isfinite(r_cur)
     )
-    # Health check on the CURRENT state (valid with or without excitation:
-    # it needs no fit). Healthy -> nothing to bootstrap, done.
+    # Health check on the CURRENT state. Gated on the SAME excitation floor
+    # as the fit (round-4, advisor finding): under the degeneracy this
+    # module documents (failure mode 1), r_cur is equally blind — a
+    # scale-corrupted state in a low-excitation window passes
+    # r_cur <= resid_floor while scale is 25% off. Un-excited windows
+    # neither apply nor finish; the alignment retries at later promotions
+    # once motion actually observes the scale.
     healthy = (n_fac >= min_factors) & jnp.isfinite(r_cur) \
-        & (r_cur <= resid_floor)
+        & (r_cur <= resid_floor) & (excitation >= min_excitation)
     # Unhealthy state + a fit that explains the window decisively better ->
     # apply. A corrupted window can defeat the (s, v) model entirely (both
     # residuals large, ratio ~1) — then neither apply nor finish: retry at
@@ -167,5 +172,12 @@ def vi_align_window(state: EngineState, R_bc, gravity: float,
         marg_pend_H=sel(z99, state.marg_pend_H),
         # Displacement-since-keyframe accumulators are zero at promotion
         # (the only time this runs), so no rescale is needed there.
-        vi_aligned=state.vi_aligned | healthy | apply,
+        # ITERATED re-alignment (round 4): an APPLIED alignment latches only
+        # if the fit itself reached the healthy floor — a coarse first
+        # re-anchor (corrupt early keyframes still in the window) leaves
+        # vi_aligned False, so later, cleaner windows refine it. Repeated
+        # application cannot oscillate on a healthy state: apply requires
+        # BOTH r_cur above the floor AND a decisive model-comparison win.
+        vi_aligned=state.vi_aligned | healthy
+        | (apply & (r_fit <= resid_floor)),
     )

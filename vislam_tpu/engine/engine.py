@@ -61,6 +61,41 @@ class FrameResult(NamedTuple):
                               # diagnostics signal
 
 
+class HostFrameResult(NamedTuple):
+    """Per-frame outputs, fetched to the host in ONE transfer (round 4).
+
+    The host-loop CLI previously fetched FrameResult leaf by leaf —
+    ~8 fetches x ~25 ms tunnel RTT per frame plus an extra quat->rpy
+    round-trip, ~250 ms/frame of pure transfer (the VERDICT r03
+    fps_host_loop=3.5 root cause). step_host() packs everything into one
+    (33,) device vector, fetches once, and unpacks to numpy here."""
+
+    p_wc: np.ndarray
+    R_wc: np.ndarray
+    q_wb: np.ndarray
+    v_w: np.ndarray
+    rpy: np.ndarray
+    is_keyframe: bool
+    num_matches: int
+    num_inliers: int
+    disparity: float
+    t_dir_cam: np.ndarray
+    used_fallback: bool
+    t_pred_cam: np.ndarray
+
+
+def unpack_host_result(f: np.ndarray) -> HostFrameResult:
+    """Decode the packed (33,) result vector (see step_host_async)."""
+    return HostFrameResult(
+        p_wc=f[0:3], R_wc=f[3:12].reshape(3, 3), q_wb=f[12:16],
+        v_w=f[16:19], rpy=f[19:22],
+        is_keyframe=bool(f[22] > 0.5),
+        num_matches=int(f[23]), num_inliers=int(f[24]),
+        disparity=float(f[25]), used_fallback=bool(f[26] > 0.5),
+        t_dir_cam=f[27:30], t_pred_cam=f[30:33],
+    )
+
+
 class VIOEngine:
     """Thin host wrapper owning the static config + the jitted step."""
 
@@ -74,6 +109,8 @@ class VIOEngine:
         # restored on resume (set_step_counter).
         self._base_key = jax.random.PRNGKey(seed)
         self._step_counter = 0
+        self._packed_step = None     # built lazily by step_host
+        self._pipelined_step = None  # built lazily by step_pipelined
         # Camera->body rotation from the calibration extrinsic. Kept as
         # NUMPY: closed-over values must embed as HLO literals — closed-over
         # jax DeviceArrays become captured buffers that the axon TPU runtime
@@ -730,5 +767,114 @@ class VIOEngine:
             jnp.asarray(imu, jnp.float32),
             jnp.asarray(imu_dt, jnp.float32),
             jnp.asarray(gt_t_norm, jnp.float32),
+            sub,
+        )
+
+    def step_host_async(self, state: EngineState, image, imu, imu_dt,
+                        gt_t_norm: float = -1.0):
+        """Dispatch one frame WITHOUT fetching: (new_state, packed_device).
+
+        packed_device is the (33,) result vector still on device; decode it
+        later (possibly from a fetch thread) with `unpack_host_result
+        (np.asarray(packed_device))`. This is what lets the CLI host loop
+        PIPELINE: dispatch frame j+1 while frame j's single result fetch
+        (~25 ms tunnel RTT) is in flight — the fetch no longer serializes
+        the loop. new_state stays on device."""
+        if self._packed_step is None:
+            base = self._build_step()
+
+            def packed(state, image, imu, imu_dt, gt_t_norm, key):
+                # Accept any image dtype (uint8 datasets upload 4x fewer
+                # bytes over the ~25 MB/s tunnel); compute path is f32.
+                image = image.astype(jnp.float32)
+                s, r = base(state, image, imu, imu_dt, gt_t_norm, key)
+                flat = jnp.concatenate([
+                    r.p_wc, r.R_wc.reshape(-1), r.q_wb, r.v_w,
+                    lie.quat_to_rpy(r.q_wb),
+                    jnp.stack([
+                        r.is_keyframe.astype(jnp.float32),
+                        r.num_matches.astype(jnp.float32),
+                        r.num_inliers.astype(jnp.float32),
+                        r.disparity,
+                        r.used_fallback.astype(jnp.float32),
+                    ]),
+                    r.t_dir_cam, r.t_pred_cam,
+                ])
+                return s, flat
+
+            self._packed_step = jax.jit(packed)
+        sub = jax.random.fold_in(self._base_key, self._step_counter)
+        self._step_counter += 1
+        return self._packed_step(
+            state,
+            jnp.asarray(image),
+            jnp.asarray(imu, jnp.float32),
+            jnp.asarray(imu_dt, jnp.float32),
+            jnp.asarray(gt_t_norm, jnp.float32),
+            sub,
+        )
+
+    def step_host(self, state: EngineState, image, imu, imu_dt,
+                  gt_t_norm: float = -1.0):
+        """Process one frame for a HOST loop: (new_state, HostFrameResult).
+
+        The result crosses the device boundary as one packed (33,) vector —
+        a single ~25 ms tunnel fetch instead of one per leaf; rpy is
+        computed on-device so the host never round-trips a quaternion."""
+        new_state, flat = self.step_host_async(state, image, imu, imu_dt,
+                                               gt_t_norm)
+        return new_state, unpack_host_result(np.asarray(flat))
+
+    def step_pipelined(self, state: EngineState, kf_gt_pos, image, imu,
+                       imu_dt, gt_p, gt_on: float):
+        """Fully-async host-loop step: (new_state, new_kf_gt_pos, packed).
+
+        Removes the LAST host feedback of the online loop: in GT-scale mode
+        gt_t_norm = ||gt_p - gt_p(last keyframe)|| depends on which frame
+        was last promoted — host code would have to fetch is_keyframe
+        before dispatching the next frame. Here the last-keyframe GT
+        position rides a device-side carry (exactly the scan runner's
+        trick, engine/batch.py::_scan_fn), so the CLI can dispatch frame
+        j+1 immediately and decode frame j's packed result from a fetch
+        thread ~2 frames later. gt_on <= 0 selects IMU scale (gt_norm=-1),
+        matching step(gt_t_norm=-1)."""
+        if self._pipelined_step is None:
+            base = self._build_step()
+
+            def piped(state, kf_gt_pos, image, imu, imu_dt, gt_p, gt_on,
+                      key):
+                image = image.astype(jnp.float32)
+                gt_norm = jnp.where(
+                    gt_on > 0.0,
+                    jnp.linalg.norm(gt_p - kf_gt_pos),
+                    jnp.float32(-1.0),
+                )
+                s, r = base(state, image, imu, imu_dt, gt_norm, key)
+                new_kf_gt = jnp.where(r.is_keyframe, gt_p, kf_gt_pos)
+                flat = jnp.concatenate([
+                    r.p_wc, r.R_wc.reshape(-1), r.q_wb, r.v_w,
+                    lie.quat_to_rpy(r.q_wb),
+                    jnp.stack([
+                        r.is_keyframe.astype(jnp.float32),
+                        r.num_matches.astype(jnp.float32),
+                        r.num_inliers.astype(jnp.float32),
+                        r.disparity,
+                        r.used_fallback.astype(jnp.float32),
+                    ]),
+                    r.t_dir_cam, r.t_pred_cam,
+                ])
+                return s, new_kf_gt, flat
+
+            self._pipelined_step = jax.jit(piped)
+        sub = jax.random.fold_in(self._base_key, self._step_counter)
+        self._step_counter += 1
+        return self._pipelined_step(
+            state,
+            jnp.asarray(kf_gt_pos, jnp.float32),
+            jnp.asarray(image),
+            jnp.asarray(imu, jnp.float32),
+            jnp.asarray(imu_dt, jnp.float32),
+            jnp.asarray(gt_p, jnp.float32),
+            jnp.asarray(gt_on, jnp.float32),
             sub,
         )

@@ -60,18 +60,13 @@ def _build_tracks(window, ratio: float, mutual: bool):
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def refine_window(state: EngineState, cfg: SystemConfig,
-                  fx: float, fy: float, cx: float, cy: float,
-                  R_bc=None) -> EngineState:
-    """Run windowed BA over the engine's keyframe window; returns new state.
+def build_window_problem(state: EngineState, cfg: SystemConfig,
+                         fx: float, fy: float, cx: float, cy: float):
+    """Track association + triangulation + outlier gates over the window.
 
-    With cfg.backend.vi_factors the window optimization is VISUAL-INERTIAL:
-    preintegrated-IMU factors between consecutive keyframes (stored in the
-    window by the engine step) join the reprojection factors, velocities
-    refine alongside poses, and the gauge shrinks to the oldest pose only
-    (scale is IMU-observable). R_bc is the camera->body extrinsic rotation
-    (identity default).
-    """
+    Factored out of refine_window (round 4) so the DISTRIBUTED window BA
+    (refine_window_distributed -> parallel.dist_vi_bundle_adjust) consumes
+    the exact same problem. Returns (ba_state, prob, track_ok)."""
     win = state.window
     W, K = win.kp_mask.shape
     fe = cfg.frontend
@@ -180,11 +175,33 @@ def refine_window(state: EngineState, cfg: SystemConfig,
         track_ok = track_ok & (jnp.sum(obs_mask, axis=0) >= 2)
         obs_mask = obs_mask & track_ok[None, :]
 
-    # --- Bundle adjust.
     ba_state = BAState(R=win.R_cw, t=win.t_cw,
                        X=jnp.where(track_ok[:, None], X_w, 1.0))
     prob = BAProblem(obs_uv=obs_uv, obs_mask=obs_mask,
                      fx=fx, fy=fy, cx=cx, cy=cy)
+    return ba_state, prob, track_ok
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def refine_window(state: EngineState, cfg: SystemConfig,
+                  fx: float, fy: float, cx: float, cy: float,
+                  R_bc=None) -> EngineState:
+    """Run windowed BA over the engine's keyframe window; returns new state.
+
+    With cfg.backend.vi_factors the window optimization is VISUAL-INERTIAL:
+    preintegrated-IMU factors between consecutive keyframes (stored in the
+    window by the engine step) join the reprojection factors, velocities
+    refine alongside poses, and the gauge shrinks to the oldest pose only
+    (scale is IMU-observable). R_bc is the camera->body extrinsic rotation
+    (identity default).
+    """
+    win = state.window
+    W, K = win.kp_mask.shape
+    be = cfg.backend
+
+    ba_state, prob, track_ok = build_window_problem(state, cfg, fx, fy,
+                                                    cx, cy)
+    obs_mask = prob.obs_mask
     # Monocular BA has a 7-DoF gauge: at least two poses must be fixed to
     # pin the frame AND the scale. Gauge choice (static config):
     #   "oldest2": slots {0, 1} fixed, anchor refined (capped feedback)

@@ -19,6 +19,7 @@ spatial weighting, L2-normalize -> clip 0.2 -> renormalize.
 
 from __future__ import annotations
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -92,15 +93,93 @@ def _static_geometry(patch_scale: float):
 _OFFS, _WSP = _static_geometry(patch_scale=1.5)
 
 
+_PATCH = 32          # patch side for the patch-based sampling fast path
+_PATCH_MARGIN = 3    # blur radius (2) + scharr radius (1): in-patch rows/cols
+                     # inside [m, P-1-m] carry exactly the full-image values
+
+
+def extract_patches(img, uv, P: int):
+    """Gather (K, P, P) patches centered (floor) on uv via vmapped
+    dynamic_slice — contiguous block gathers, measured ~12x faster than
+    per-element gathers on the TPU runtime (BENCH_NOTES round 4).
+
+    Returns (patches, iu0, iv0) where (iu0, iv0) are the patch origins
+    (clipped at image borders so patches always stay in-bounds)."""
+    H, W = img.shape
+    iu0 = jnp.clip(jnp.floor(uv[:, 0]).astype(jnp.int32) - P // 2 + 1, 0, W - P)
+    iv0 = jnp.clip(jnp.floor(uv[:, 1]).astype(jnp.int32) - P // 2 + 1, 0, H - P)
+    patches = jax.vmap(
+        lambda v, u: jax.lax.dynamic_slice(img, (v, u), (P, P))
+    )(iv0, iu0)
+    return patches, iu0, iv0
+
+
+def _shift_conv_patches(pat, k, axis: int):
+    """1D conv along a patch axis via static shifts (roll); rows/cols within
+    the valid margin are exact (wrap contamination stays in the margin)."""
+    r = len(k) // 2
+    out = jnp.zeros_like(pat)
+    for i, kv in enumerate(k):
+        s = i - r
+        out = out + float(kv) * (pat if s == 0 else jnp.roll(pat, -s, axis=axis))
+    return out
+
+
+def _patch_gradients(patches, smooth_sigma: float):
+    """Blur(sigma, radius 2) + Scharr gradients in patch space — pure
+    elementwise shift-adds on (K, P, P), replacing four full-image
+    single-channel convolutions (~0.8 ms EACH on this runtime)."""
+    x = np.arange(-2, 3, dtype=np.float32)
+    g = np.exp(-0.5 * (x / smooth_sigma) ** 2)
+    g /= g.sum()
+    sm = _shift_conv_patches(_shift_conv_patches(patches, g, 1), g, 2)
+    sx = (3.0 / 32.0, 10.0 / 32.0, 3.0 / 32.0)
+    dx = (-1.0, 0.0, 1.0)
+    # Scharr = smooth perpendicular x central-diff along (unit-gain /32).
+    gx = _shift_conv_patches(_shift_conv_patches(sm, sx, 1), dx, 2)
+    gy = _shift_conv_patches(_shift_conv_patches(sm, sx, 2), dx, 1)
+    return gx, gy
+
+
+def sample_bilinear_patches(fields, lu, lv, lo: float, hi: float):
+    """Separable one-hot bilinear sampling inside patches.
+
+    fields: (K, P, P, C); lu/lv: (K, S) local float coords (clipped to
+    [lo, hi]).  The bilinear weight factorizes per axis into a 2-nonzero
+    row (K, S, P); the sample is then two batched contractions that land
+    on the MXU instead of a serialized 131k-element gather (measured
+    0.4 ms vs 4.0 ms per field at K=512, S=256)."""
+    K_, P = fields.shape[0], fields.shape[1]
+    iota = jnp.arange(P, dtype=jnp.float32)
+    lu = jnp.clip(lu, lo, hi)
+    lv = jnp.clip(lv, lo, hi)
+    av = jnp.maximum(0.0, 1.0 - jnp.abs(lv[..., None] - iota))  # (K,S,P)
+    au = jnp.maximum(0.0, 1.0 - jnp.abs(lu[..., None] - iota))
+    t1 = jnp.einsum("ksp,kpqc->ksqc", av, fields,
+                    preferred_element_type=jnp.float32)          # (K,S,P,C)
+    return jnp.einsum("ksq,ksqc->ksc", au, t1,
+                      preferred_element_type=jnp.float32)        # (K,S,C)
+
+
 def describe_keypoints(img, uv, angle, smooth_sigma: float = 0.6):
     """Describe K keypoints on one image.
 
     img: (H, W) float32 (the pyramid level the keypoints live on)
     uv: (K, 2) level-local pixel coords; angle: (K,) radians.
     Returns (K, 128) float32 L2-normalized SIFT-style descriptors.
+
+    Round-4 TPU path: full-image blur/gradient convs + float-coord gathers
+    (the round-3 formulation) measured 16.2 ms/frame fetch-forced — the
+    runtime serializes large gathers and single-channel convs.  This
+    version gathers one (K, 32, 32) patch per keypoint (contiguous
+    dynamic-slice gathers), computes blur+Scharr in patch space (shift-
+    adds), and bilinear-samples via separable one-hot contractions on the
+    MXU.  Interior keypoints produce exactly the full-image values (the
+    3-px patch margin absorbs the conv support); total ~1.5 ms.
     """
-    img_s = gaussian_blur(img, smooth_sigma, radius=2)
-    gx, gy = scharr_gradients(img_s)
+    P = _PATCH
+    patches, iu0, iv0 = extract_patches(img, uv, P)
+    gxp, gyp = _patch_gradients(patches, smooth_sigma)
 
     ca = jnp.cos(angle)
     sa = jnp.sin(angle)
@@ -109,8 +188,13 @@ def describe_keypoints(img, uv, angle, smooth_sigma: float = 0.6):
     ry = sa[:, None] * offs[None, :, 0] + ca[:, None] * offs[None, :, 1]
     coords = uv[:, None, :] + jnp.stack([rx, ry], axis=-1)  # (K, S, 2)
 
-    gxs = _bilinear_gather(gx, coords)  # (K, S)
-    gys = _bilinear_gather(gy, coords)
+    lu = coords[..., 0] - iu0[:, None].astype(jnp.float32)
+    lv = coords[..., 1] - iv0[:, None].astype(jnp.float32)
+    m = float(_PATCH_MARGIN)
+    fields = jnp.stack([gxp, gyp], axis=-1)  # (K, P, P, 2)
+    samp = sample_bilinear_patches(fields, lu, lv, m, P - 1 - m - 1e-3)
+    gxs = samp[..., 0]  # (K, S)
+    gys = samp[..., 1]
     # Rotate gradients into the keypoint frame.
     gxr = ca[:, None] * gxs + sa[:, None] * gys
     gyr = -sa[:, None] * gxs + ca[:, None] * gys

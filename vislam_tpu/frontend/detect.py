@@ -192,12 +192,34 @@ def _subpixel_refine(resp, uv):
 
 
 def _orientations(img, uv, sigma: float = 2.5):
-    """Dominant gradient orientation at each keypoint (blurred gradients)."""
-    gx, gy = scharr_gradients(gaussian_blur(img, sigma))
-    u = jnp.clip(uv[:, 0].astype(jnp.int32), 0, img.shape[1] - 1)
-    v = jnp.clip(uv[:, 1].astype(jnp.int32), 0, img.shape[0] - 1)
-    return jnp.arctan2(gy[v, u].astype(jnp.float32),
-                       gx[v, u].astype(jnp.float32))
+    """Dominant gradient orientation at each keypoint (blurred gradients).
+
+    Round-4 TPU path: patch-space blur+Scharr (shift-adds on (K, 16, 16))
+    instead of two full-image convolution chains + point gathers — the
+    full-image formulation measured 1.1 ms/frame fetch-forced (single-
+    channel convs are pathologically slow on this runtime)."""
+    from vislam_tpu.frontend.descriptor import (
+        _shift_conv_patches, extract_patches)
+
+    P = 16
+    r = 3
+    patches, iu0, iv0 = extract_patches(img.astype(jnp.float32), uv, P)
+    x = np.arange(-r, r + 1, dtype=np.float32)
+    g = np.exp(-0.5 * (x / sigma) ** 2)
+    g /= g.sum()
+    sm = _shift_conv_patches(_shift_conv_patches(patches, g, 1), g, 2)
+    sx = (3.0 / 32.0, 10.0 / 32.0, 3.0 / 32.0)
+    dx = (-1.0, 0.0, 1.0)
+    gx = _shift_conv_patches(_shift_conv_patches(sm, sx, 1), dx, 2)
+    gy = _shift_conv_patches(_shift_conv_patches(sm, sx, 2), dx, 1)
+    # Center pixel of each patch = the keypoint pixel (clipped at borders).
+    cu = jnp.clip(uv[:, 0].astype(jnp.int32), 0, img.shape[1] - 1) - iu0
+    cv = jnp.clip(uv[:, 1].astype(jnp.int32), 0, img.shape[0] - 1) - iv0
+    K_ = uv.shape[0]
+    flat = jnp.arange(K_) * P * P + cv * P + cu
+    gxc = jnp.take(gx.reshape(-1), flat)
+    gyc = jnp.take(gy.reshape(-1), flat)
+    return jnp.arctan2(gyc.astype(jnp.float32), gxc.astype(jnp.float32))
 
 
 def detect_keypoints(
@@ -232,10 +254,11 @@ def detect_keypoints(
     all_uv, all_score, all_level, all_angle = [], [], [], []
     for lvl in range(levels_used):
         img = pyramid[lvl]
-        if use_pallas and detector == "shi_tomasi":
-            from vislam_tpu.ops.harris_kernel import harris_nms_pallas
+        if (use_pallas and detector == "shi_tomasi"
+                and jax.default_backend() == "tpu"):
+            from vislam_tpu.ops.harris_kernel import harris_nms_auto
 
-            resp, full_resp = harris_nms_pallas(img.astype(jnp.float32))
+            resp, full_resp = harris_nms_auto(img.astype(jnp.float32))
         else:
             # Response in the pyramid's dtype (bf16 fast path); selection,
             # NMS ordering, and subpixel refinement in float32.

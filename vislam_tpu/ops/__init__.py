@@ -6,6 +6,6 @@ config. CPU test runs use interpret mode automatically.
 """
 
 from vislam_tpu.ops.match_kernel import match_top2_pallas
-from vislam_tpu.ops.harris_kernel import harris_nms_pallas
+from vislam_tpu.ops.harris_kernel import harris_nms_auto, harris_nms_pallas
 
-__all__ = ["match_top2_pallas", "harris_nms_pallas"]
+__all__ = ["match_top2_pallas", "harris_nms_pallas", "harris_nms_auto"]

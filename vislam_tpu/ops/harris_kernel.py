@@ -65,9 +65,11 @@ def _conv1d_cols(x, k):
 
 
 def _kernel(img_hbm, out_ref, resp_ref, scratch, sem):
-    i = pl.program_id(0)
+    # Grid is (batch, row_blocks); batch size 1 folds to the unbatched case.
+    b = pl.program_id(0)
+    i = pl.program_id(1)
     # DMA the halo-padded row block HBM -> VMEM scratch.
-    src = img_hbm.at[pl.ds(i * _BH, _BH + 2 * _HALO), :]
+    src = img_hbm.at[b, pl.ds(i * _BH, _BH + 2 * _HALO), :]
     cp = pltpu.make_async_copy(src, scratch, sem)
     cp.start()
     cp.wait()
@@ -98,20 +100,17 @@ def _kernel(img_hbm, out_ref, resp_ref, scratch, sem):
 
     # Drop the halo rows; both fields are needed downstream (NMS for grid
     # top-k, raw response for subpixel refinement).
-    out_ref[:] = nms[_HALO:-_HALO, :]
-    resp_ref[:] = resp[_HALO:-_HALO, :]
+    out_ref[0, :, :] = nms[_HALO:-_HALO, :]
+    resp_ref[0, :, :] = resp[_HALO:-_HALO, :]
 
 
 @partial(jax.jit, static_argnames=("interpret",))
-def harris_nms_pallas(img, interpret: bool = False):
-    """(H, W) image -> (nms'd response, raw response), both (H, W).
-
-    Equivalent to (detect._nms(r, radius=2), r) for
-    r = detect.harris_response(img), up to boundary handling (the halo ring
-    absorbs the roll wrap; image borders are suppressed by the detector's
-    border mask downstream).
-    """
-    H, W = img.shape
+def _harris_nms_batched(imgs, interpret: bool = False):
+    """(B, H, W) images -> (nms, resp), both (B, H, W). Batch rides the
+    leading grid dimension (needed because pallas_call with an ANY-space
+    input cannot be vmapped — the engine's batch/multi-sequence runners
+    vmap the whole step)."""
+    B, H, W = imgs.shape
     # Pad: halo rows top/bottom (+ rounding rows so H is a block multiple),
     # lane padding so W stays a multiple of 128. Lane halo comes free from
     # the roll wrap-around into the padding columns.
@@ -119,20 +118,20 @@ def harris_nms_pallas(img, interpret: bool = False):
     pw = (-(W + 2 * _HALO)) % 128
     Hb = H + ph
     Wp = W + 2 * _HALO + pw
-    imgp = jnp.pad(img, ((_HALO, _HALO + ph), (_HALO, _HALO + pw)))
+    imgp = jnp.pad(imgs, ((0, 0), (_HALO, _HALO + ph), (_HALO, _HALO + pw)))
     grid = Hb // _BH
     out, resp = pl.pallas_call(
         _kernel,
-        grid=(grid,),
+        grid=(B, grid),
         out_shape=(
-            jax.ShapeDtypeStruct((Hb, Wp), jnp.float32),
-            jax.ShapeDtypeStruct((Hb, Wp), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hb, Wp), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hb, Wp), jnp.float32),
         ),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(
-            pl.BlockSpec((_BH, Wp), lambda i: (i, 0),
+            pl.BlockSpec((1, _BH, Wp), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_BH, Wp), lambda i: (i, 0),
+            pl.BlockSpec((1, _BH, Wp), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
@@ -140,8 +139,43 @@ def harris_nms_pallas(img, interpret: bool = False):
             pltpu.SemaphoreType.DMA,
         ],
         cost_estimate=pl.CostEstimate(
-            flops=H * W * 120, bytes_accessed=H * W * 12, transcendentals=H * W,
+            flops=B * H * W * 120, bytes_accessed=B * H * W * 12,
+            transcendentals=B * H * W,
         ),
         interpret=interpret,
     )(imgp)
-    return out[:H, _HALO:_HALO + W], resp[:H, _HALO:_HALO + W]
+    return out[:, :H, _HALO:_HALO + W], resp[:, :H, _HALO:_HALO + W]
+
+
+def harris_nms_pallas(img, interpret: bool = False):
+    """(..., H, W) image(s) -> (nms'd response, raw response), same shape.
+
+    Equivalent to (detect._nms(r, radius=2), r) for
+    r = detect.harris_response(img), up to boundary handling (the halo ring
+    absorbs the roll wrap; image borders are suppressed by the detector's
+    border mask downstream).  Arbitrary leading batch dims fold into the
+    kernel grid (see _harris_nms_batched) — this is what lets jax.vmap of
+    the engine step (batch/multi-sequence runners) trace through: the
+    custom_vmap rule below reroutes batching onto the grid instead of
+    failing in pallas_call.
+    """
+    lead = img.shape[:-2]
+    H, W = img.shape[-2:]
+    imgs = img.reshape((-1, H, W))
+    out, resp = _harris_nms_batched(imgs, interpret=interpret)
+    return out.reshape(*lead, H, W), resp.reshape(*lead, H, W)
+
+
+# vmap support: reroute a mapped leading axis onto the kernel grid. This is
+# the entry the production detector uses — jax.vmap of the engine step
+# (batch/multi-sequence runners, engine/batch.py) otherwise dies inside
+# pallas_call ("memory space ANY only ... trivial index_map").
+@jax.custom_batching.custom_vmap
+def harris_nms_auto(img):
+    return harris_nms_pallas(img)
+
+
+@harris_nms_auto.def_vmap
+def _harris_vmap_rule(axis_size, in_batched, img):
+    out, resp = harris_nms_pallas(img)
+    return (out, resp), (True, True)

@@ -225,15 +225,17 @@ def dist_vi_bundle_adjust(
     if est_bias:
         bias0 = put(jnp.concatenate([jnp.asarray(bg0, jnp.float32),
                                      jnp.asarray(ba0, jnp.float32)]))
-        bg0_j, ba0_j = put(bg0), put(ba0)
     else:
         bias0 = put(jnp.zeros(6, jnp.float32))
-        bg0_j = ba0_j = None
     n_dev = _axis_size(mesh, axis)
 
     def lm_scan(R, t, X, obs_uv, obs_mask, vv0, fc, fmask, b0, gw, Rbc):
         pr = BAProblem(obs_uv=obs_uv, obs_mask=obs_mask,
                        fx=fx, fy=fy, cx=cx, cy=cy)
+        # Bias-prior anchors derived from the passed b0 argument — NOT
+        # closed-over device arrays (CLAUDE.md hard rule 1: the axon
+        # runtime re-uploads every captured device buffer per execution).
+        bg0_l, ba0_l = b0[:3], b0[3:]
 
         def total_cost(st, vel, bias):
             c = jax.lax.psum(robust_cost(st, pr, huber_delta), axis)
@@ -241,8 +243,8 @@ def dist_vi_bundle_adjust(
                 bg, ba = bias[:3], bias[3:]
                 c = c + imu_cost(st.R, st.t, vel, fc, gw, Rbc,
                                  w_rot, w_vel, w_pos, bg=bg, ba=ba)
-                c = c + 0.5 * (w_bg_prior * jnp.sum((bg - bg0_j) ** 2)
-                               + w_ba_prior * jnp.sum((ba - ba0_j) ** 2))
+                c = c + 0.5 * (w_bg_prior * jnp.sum((bg - bg0_l) ** 2)
+                               + w_ba_prior * jnp.sum((ba - ba0_l) ** 2))
             else:
                 c = c + imu_cost(st.R, st.t, vel, fc, gw, Rbc,
                                  w_rot, w_vel, w_pos)
@@ -259,7 +261,7 @@ def dist_vi_bundle_adjust(
             if est_bias:
                 H_imu, b_imu = _imu_normal_equations_bias(
                     st.R, st.t, vel, fc, gw, Rbc, w_rot, w_vel, w_pos,
-                    bias[:3], bias[3:], bg0_j, ba0_j,
+                    bias[:3], bias[3:], bg0_l, ba0_l,
                     w_bg_prior, w_ba_prior)
                 dxi, dv, db = solve_vi_system_bias(
                     S, rhs, H_imu, b_imu, lam, fmask)

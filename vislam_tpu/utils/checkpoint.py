@@ -4,6 +4,12 @@ The reference has no checkpoint/resume at all (SURVEY.md §5) — its closest
 analog is the `start_index` config field. Here the whole EngineState pytree
 (pose, keyframe window, feature buffers, biases) serializes to one .npz;
 combined with the deterministic dataset index this gives exact resume.
+
+Round-4 versioning (advisor finding): leaves are stored positionally AND
+keyed by their pytree field path, so a checkpoint saved before EngineState
+grew a field (e.g. vi_aligned in round 3) still loads — absent fields fill
+from `_ADDED_FIELD_DEFAULTS` instead of failing unflatten with a leaf-count
+mismatch.
 """
 
 from __future__ import annotations
@@ -17,12 +23,29 @@ import numpy as np
 from vislam_tpu.engine.state import EngineState, KeyframeWindow
 from vislam_tpu.frontend.features import Features
 
+# Defaults for fields added to the state after checkpoints may already
+# exist in the wild, keyed by the LAST path component (the field name).
+_ADDED_FIELD_DEFAULTS = {
+    "vi_aligned": np.asarray(False),
+}
+
+
+def _leaf_paths(template):
+    """Flattened (path-string, leaf) pairs in tree order."""
+    flat, _ = jax.tree_util.tree_flatten_with_path(template)
+    return [(jax.tree_util.keystr(path), leaf) for path, leaf in flat]
+
 
 def save_checkpoint(path: str, state: EngineState, frame_index: int,
                     meta: dict | None = None) -> None:
-    leaves, treedef = jax.tree.flatten(state)
-    arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    flat, _ = jax.tree_util.tree_flatten_with_path(state)
+    arrays = {}
+    paths = []
+    for i, (kpath, leaf) in enumerate(flat):
+        arrays[f"leaf_{i}"] = np.asarray(leaf)
+        paths.append(jax.tree_util.keystr(kpath))
     arrays["__frame_index"] = np.asarray(frame_index)
+    arrays["__paths"] = np.asarray(paths)
     # Uncompressed: the state is a few MB and per-keyframe saves sit on the
     # streaming path (compression measured 191 ms/save vs ~10 ms raw).
     np.savez(path, **arrays)
@@ -41,15 +64,54 @@ def load_checkpoint_meta(path: str) -> dict:
 
 
 def load_checkpoint(path: str):
-    """Returns (state: EngineState, frame_index: int)."""
+    """Returns (state: EngineState, frame_index: int).
+
+    Loading order: (a) path-keyed match against the current structure
+    (robust to added/reordered fields); (b) legacy positional when counts
+    match; (c) legacy positional padded with `_ADDED_FIELD_DEFAULTS` for
+    trailing fields added since the save.
+    """
     data = np.load(path)
     n = sum(1 for k in data.files if k.startswith("leaf_"))
-    leaves = [data[f"leaf_{i}"] for i in range(n)]
+    stored = [data[f"leaf_{i}"] for i in range(n)]
     frame_index = int(data["__frame_index"])
-    # Rebuild the pytree structure from a template with matching shapes.
-    template = _template_from_leaves(leaves)
+
+    template = _template_from_leaves(stored)
+    cur_paths = [p for p, _ in _leaf_paths(template)]
+
+    if "__paths" in data.files:
+        by_path = {str(p): leaf
+                   for p, leaf in zip(list(data["__paths"]), stored)}
+        leaves = []
+        for p in cur_paths:
+            if p in by_path:
+                leaves.append(by_path[p])
+            else:
+                leaves.append(_default_for(p))
+    elif n == len(cur_paths):
+        leaves = stored
+    else:
+        # Pre-versioning checkpoint with fewer leaves: fields were appended
+        # over time, so pad the MISSING TRAILING positions from defaults.
+        if n > len(cur_paths):
+            raise ValueError(
+                f"checkpoint has {n} leaves but the current EngineState has "
+                f"{len(cur_paths)} — cannot migrate a newer checkpoint")
+        leaves = list(stored)
+        for p in cur_paths[n:]:
+            leaves.append(_default_for(p))
+
     state = jax.tree.unflatten(jax.tree.structure(template), leaves)
     return state, frame_index
+
+
+def _default_for(path: str):
+    name = path.split(".")[-1].strip("']")
+    if name in _ADDED_FIELD_DEFAULTS:
+        return _ADDED_FIELD_DEFAULTS[name]
+    raise ValueError(
+        f"checkpoint is missing state field {path!r} and no migration "
+        f"default is registered for it")
 
 
 def _template_from_leaves(leaves):

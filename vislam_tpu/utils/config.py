@@ -81,14 +81,16 @@ class FrontendConfig:
     mutual_check: bool = True
     # Fused Pallas kernels (ops/match_kernel.py, ops/harris_kernel.py).
     # Production-wired, oracle-tested, full feature surface (incl. guided
-    # gating in-kernel). Defaults OFF on measurement, not neglect: on the
-    # real v5e at production shapes (K=512, D=128, 480x768) the XLA paths
-    # are at least as fast (scan-amortized, closure-free, interleaved
-    # minima: match 0.83us jnp vs 1.02us pallas; extract ~1.0us both —
-    # scripts/bench_pallas.py). XLA's fusion already keeps these stages
-    # VMEM-resident; keep the kernels for larger-K/new-hardware headroom.
+    # gating in-kernel). ROUND-4 REVERSAL: the round-2 "XLA parity"
+    # numbers were enqueue rates (struck by the round-3 forensics);
+    # measured FETCH-FORCED at production shapes the fused response+NMS
+    # kernel is ~1500x the XLA conv chain (4.4 us vs 6560 us/frame —
+    # this runtime executes single-channel convolutions pathologically
+    # slowly; scripts/bench_extract_variants.py). The detector kernel is
+    # therefore ON by default; it engages only on the TPU backend
+    # (detect.py falls back to the XLA path on CPU/virtual meshes).
     use_pallas_matcher: bool = False
-    use_pallas_detector: bool = False
+    use_pallas_detector: bool = True
     guided_gate_px: float = 0.0    # >0: guided matching — exclude candidate
                                    # pairs farther than this from the
                                    # IMU-rotation-predicted position.
