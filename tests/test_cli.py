@@ -124,3 +124,27 @@ def test_cli_resume_requires_checkpoint(tmp_path):
     r = _run_cli(["--synthetic", "10", "--resume",
                   "--output", str(tmp_path / "t.csv")])
     assert r.returncode != 0
+
+
+def test_cli_dist_ba(tmp_path):
+    """--dist-ba N exercises the DISTRIBUTED visual-inertial window BA
+    end-to-end from the CLI on the 8-device virtual mesh (round 4; the
+    flagship multi-chip capability must be reachable from a shipped mode,
+    not only from tests): the run must complete, report the distributed
+    solve's cost trajectory, and the refinement must not corrupt the
+    trajectory."""
+    out = str(tmp_path / "traj.csv")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8").strip()
+    r = subprocess.run(
+        [sys.executable, "-m", "vislam_tpu.cli", "--cpu",
+         "--synthetic", "24", "--imu-scale", "--vi-ba",
+         "--dist-ba", "8", "--output", out],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=500,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "distributed window BA (mesh=8 devices)" in r.stdout
+    data = read_trajectory_csv(out)
+    assert np.isfinite(data["est_p"]).all()

@@ -77,6 +77,15 @@ def main(argv=None):
                     help="add preintegrated-IMU factors to the window BA "
                          "(visual-inertial BA: scale/gravity/velocity become "
                          "observable; auto-enabled for --ba --imu-scale)")
+    ap.add_argument("--dist-ba", type=int, default=0, metavar="N",
+                    help="after the run, refine the final keyframe window "
+                         "with the DISTRIBUTED (visual-inertial) window BA "
+                         "on an N-device mesh: landmarks shard across "
+                         "devices, one psum per LM iteration reduces the "
+                         "Schur camera system (parallel/dist_ba.py). On a "
+                         "single-chip host this exercises the multi-chip "
+                         "code path on the virtual CPU mesh; on a pod "
+                         "slice the same path rides ICI")
     ap.add_argument("--gauge", default=None,
                     choices=["marg", "ends", "oldest2"],
                     help="online-BA window gauge (default: config 'ends' — "
@@ -675,6 +684,36 @@ def main(argv=None):
     else:
         ap.error("either --dataset or --synthetic is required")
         return 2
+
+    if args.dist_ba:
+        from vislam_tpu.engine.refine import refine_window_distributed
+        from vislam_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.dist_ba)
+        with timer.stage("dist_ba.refine"):
+            state, dinfo = refine_window_distributed(
+                state, eng.cfg, calib.fx, calib.fy, calib.cx, calib.cy,
+                mesh=mesh, R_bc=eng.R_bc,
+            )
+        print(f"distributed window BA (mesh={args.dist_ba} devices): "
+              f"cost {float(dinfo['initial_cost']):.4f} -> "
+              f"{float(dinfo['final_cost']):.4f} "
+              f"({'accepted' if dinfo['accepted'] else 'rejected'})")
+        if dinfo["accepted"] and rows:
+            # The final window's refined poses patch the trailing keyframe
+            # rows of the trajectory (offline polish, like --loop-correct).
+            win = state.window
+            Wn = int(win.valid.shape[0])
+            kf_rows = [r for r in rows if r["is_kf"]]
+            n_back = min(int(np.asarray(win.count)), len(kf_rows))
+            import numpy as _np
+
+            R_cw = _np.asarray(win.R_cw)
+            t_cw = _np.asarray(win.t_cw)
+            for i in range(n_back):
+                slot = int(_np.asarray(win.count)) - n_back + i
+                p_w = -R_cw[slot].T @ t_cw[slot]
+                kf_rows[len(kf_rows) - n_back + i]["est_p"] = p_w
 
     if args.loop_correct and len(kf_archive) > 10:
         from vislam_tpu.backend.trajectory_opt import correct_trajectory
