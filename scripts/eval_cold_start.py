@@ -1,0 +1,101 @@
+"""Cold-start recovery: the GT-free VI-alignment bootstrap under v0 = 0.
+
+Reproduces the BENCH_NOTES round-3 cold-start table (warm vs cold starts,
+bootstrap on/off, open-loop GT-free) and measures the round-4 changes:
+
+1. ITERATED re-alignment (engine/bootstrap.py): an applied alignment now
+   latches only when the fit itself reaches the healthy floor, so later,
+   cleaner windows (corrupt early keyframes rolled out) re-fire and refine
+   the first coarse re-anchor. Round-3 one-shot recovered 35-55% of the
+   cold-start error (gentle cold 2.09 -> 1.35 vs warm 0.39).
+2. Excitation-gated healthy latch (advisor fix): un-excited windows
+   neither apply nor latch.
+3. VI-BA cold starts (bootstrap statically skipped there): round-3
+   measured gentle cold 1.26 with VI-BA alone.
+
+Usage: python scripts/eval_cold_start.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import dataclasses
+
+import numpy as np
+
+
+def run(seq, cold: bool, bootstrap: bool, vi_ba: bool = False):
+    import jax.numpy as jnp
+
+    from vislam_tpu.engine import VIOEngine
+    from vislam_tpu.engine.refine import refine_window
+    from vislam_tpu.eval import ate_rmse
+    from vislam_tpu.utils.config import SystemConfig
+
+    calib = seq["calib"]
+    cfg = SystemConfig()
+    cfg = dataclasses.replace(
+        cfg,
+        engine=dataclasses.replace(cfg.engine, vi_align_bootstrap=bootstrap),
+        backend=dataclasses.replace(cfg.backend, vi_factors=vi_ba),
+    )
+    eng = VIOEngine(calib, cfg)
+    state = eng.initialize(
+        seq["images"][0], q_wb0=seq["gt_quat"][0],
+        v_w0=(np.zeros(3) if cold else seq["gt_vel"][0]),
+        p_w0=seq["gt_pos"][0],
+    )
+    n = len(seq["images"])
+    poses = []
+    for j in range(1, n):
+        lo, hi = (j - 1) * 10, j * 10
+        imu = np.zeros((16, 6), np.float32)
+        imu[:10] = np.concatenate(
+            [seq["imu_gyro"][lo:hi], seq["imu_accel"][lo:hi]], -1)
+        dt = np.zeros(16, np.float32)
+        dt[:10] = 1 / 200.0
+        state, res = eng.step(state, seq["images"][j], imu, dt, -1.0)
+        if vi_ba and bool(res.is_keyframe):
+            state = refine_window(state, eng.cfg, calib.fx, calib.fy,
+                                  calib.cx, calib.cy)
+        poses.append(np.asarray(state.p_wc))
+    poses = np.array(poses)
+    return float(ate_rmse(poses, seq["gt_pos"][1:n], align=False))
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+    from vislam_tpu.data import SyntheticConfig, make_synthetic_sequence
+
+    scens = {
+        "gentle0": make_synthetic_sequence(SyntheticConfig(
+            n_frames=60, n_landmarks=300, seed=0)),
+        "gentle2": make_synthetic_sequence(SyntheticConfig(
+            n_frames=60, n_landmarks=300, seed=2)),
+        "aggr1": make_synthetic_sequence(SyntheticConfig(
+            n_frames=60, n_landmarks=350, seed=1,
+            trans_amp=(2.0, 1.4, 0.7), rot_amp=(0.12, 0.15, 0.3))),
+        "aggr3": make_synthetic_sequence(SyntheticConfig(
+            n_frames=60, n_landmarks=350, seed=3,
+            trans_amp=(2.0, 1.4, 0.7), rot_amp=(0.12, 0.15, 0.3))),
+    }
+    print(f"{'scenario':10s} {'warm off':>9} {'warm on':>8} "
+          f"{'cold off':>9} {'cold on':>8} {'cold VI-BA':>11}")
+    for name, seq in scens.items():
+        w_off = run(seq, cold=False, bootstrap=False)
+        w_on = run(seq, cold=False, bootstrap=True)
+        c_off = run(seq, cold=True, bootstrap=False)
+        c_on = run(seq, cold=True, bootstrap=True)
+        c_ba = run(seq, cold=True, bootstrap=True, vi_ba=True)
+        print(f"{name:10s} {w_off:>9.3f} {w_on:>8.3f} "
+              f"{c_off:>9.3f} {c_on:>8.3f} {c_ba:>11.3f}")
+
+
+if __name__ == "__main__":
+    main()

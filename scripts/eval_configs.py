@@ -311,6 +311,27 @@ def main():
             f"{r5['ate_max']:.3f} m | "
             f"{p('5_multi_sequence_batch', 'ate_mean')} / "
             f"{p('5_multi_sequence_batch', 'ate_max')} |\n")
+        fh.write(
+            "\n## Drift notes (round-over-round attributions)\n\n"
+            "- **r02 -> r03 config 1 (0.183 -> 0.199) and 3b marg (0.519 ->"
+            " 0.867)**: both were the multi-scale detection default —\n"
+            "  coarse-level keypoints carry 2-4 px quantization that "
+            "poisons the epipolar solve. Fixed in r04 at the source\n"
+            "  (FrontendConfig.solver_fine_only: the two-view solver uses "
+            "fine-level matches only; matching/BA keep the capacity).\n"
+            "  Residual r04 config-1 delta vs the r02 0.183: the "
+            "dispersion-weighted RANSAC (+0.008 gentle, measured sweep in\n"
+            "  BENCH_NOTES) bought the occlusion regime 0.167 -> 0.102 — "
+            "the one regime the OpenCV reference still won.\n"
+            "- **r02 -> r03 config 4 loops 6 -> 4**: multi-scale changed "
+            "which frames promote to keyframes (the loop detector counts\n"
+            "  keyframe-archive pairs); correction quality is the metric "
+            "that matters and stayed (max kf err roughly halves).\n"
+            "- **3b marg is expected to be unstable**: the marg gauge is "
+            "chaotic on aggressive motion (BENCH_NOTES round-4 gauge\n"
+            "  ensemble: catastrophic on 3/5 scenarios) and is opt-in; "
+            "'ends' (the default) is the tracked number.\n"
+        )
     print(f"wrote EVAL.md ({this_label}, previous {prev_label})")
 
 

@@ -76,7 +76,8 @@ def main():
     timeit("detect (resp+nms+topk)",
            lambda im: detect_keypoints(
                build_pyramid(im.astype(jnp.dtype(cfg.image_dtype)), 4),
-               min_score_rel=cfg.min_score).score.sum(),
+               min_score_rel=cfg.min_score,
+               use_pallas=cfg.use_pallas_detector).score.sum(),
            img)
     timeit("extract (full, bf16 path)",
            lambda im: (lambda f: f.score.sum() + f.desc.sum())(

@@ -190,6 +190,14 @@ class VIOEngine:
             uv_i = state.kf_feat.uv
             uv_j = jnp.take(feat.uv, m.idx_b, axis=0)
             num_matches = jnp.sum(m.mask).astype(jnp.int32)
+            # Solver mask: optionally restrict the epipolar solve to
+            # fine-level (level-0) keyframe keypoints — coarse levels are
+            # matching capacity, not solver-grade localization (see
+            # FrontendConfig.solver_fine_only rationale).
+            if fe.solver_fine_only and fe.levels_used > 1:
+                solve_mask = m.mask & (state.kf_feat.level == 0)
+            else:
+                solve_mask = m.mask
 
             rays_i = unproject_pixels(uv_i, fx, fy, cx, cy)
             rays_j = unproject_pixels(uv_j, fx, fy, cx, cy)
@@ -224,7 +232,7 @@ class VIOEngine:
                 # the reference's EstimatePoseFeaturesRansac,
                 # VISystem.cpp:1655-1794).
                 est_e = ransac_essential(
-                    rays_i, rays_j, m.mask, key,
+                    rays_i, rays_j, solve_mask, key,
                     num_hyps=be.ransac_hyps, thresh=be.ransac_thresh,
                 )
                 R_ji = est_e.R_ji
@@ -234,8 +242,9 @@ class VIOEngine:
             else:
                 R_ji = R_ji_imu
                 est = ransac_translation(
-                    rays_i, rays_j, R_ji, m.mask, key,
+                    rays_i, rays_j, R_ji, solve_mask, key,
                     num_hyps=be.ransac_hyps, thresh=be.ransac_thresh,
+                    uv_i=uv_i, dispersion_pow=be.ransac_dispersion_pow,
                 )
                 t_dir = resolve_direction_sign(
                     rays_i, rays_j, R_ji, est.t_dir, est.inlier_mask
@@ -263,17 +272,22 @@ class VIOEngine:
                     #      cos(angle to IMU) down to -0.2, while healthy
                     #      regimes sit at cos >= +0.7).
                     cos_est = jnp.dot(t_dir, t_pred_dir)
-                    # GT-scale mode only: in IMU-scale (GT-free) mode the
-                    # IMU prediction is simultaneously the arbiter and the
-                    # monocular scale source — rescuing toward it closes a
-                    # feedback loop that corrupts drifting runs (measured:
-                    # aggr3 marg VI-BA 0.30 -> 1.13 with the trigger live
-                    # there).
+                    # The TRIGGER fires in every scale mode (round 4: it
+                    # only decides whether the gated re-solve RUNS, which
+                    # cannot corrupt anything by itself). The direction-
+                    # improvement ACCEPTANCE channel below stays GT-scale
+                    # only: in IMU-scale (GT-free) mode the IMU prediction
+                    # is simultaneously the arbiter and the monocular scale
+                    # source — accepting toward it closes a feedback loop
+                    # that corrupts drifting runs (measured round 3: aggr3
+                    # marg VI-BA 0.30 -> 1.13). GT-free triggers can still
+                    # be rescued via the scale-decoupled inlier-win channel
+                    # (the rotation-only gate never consults scale).
                     dir_trig = (
                         (imu_t_norm > fe.fallback_dir_min_norm)
                         & (cos_est < fe.fallback_dir_cos)
-                        & (gt_t_norm >= 0.0)
                     )
+                    dir_accept_gt = dir_trig & (gt_t_norm >= 0.0)
                     triggered = (
                         (est_inliers < fe.fallback_trigger_inliers)
                         | dir_trig
@@ -300,10 +314,17 @@ class VIOEngine:
                         rj_g = unproject_pixels(uv_j_g, fx, fy, cx, cy)
                         rj_g = rj_g / jnp.linalg.norm(rj_g, axis=-1,
                                                       keepdims=True)
+                        if fe.solver_fine_only and fe.levels_used > 1:
+                            g_solve_mask = m_g.mask & (
+                                state.kf_feat.level == 0)
+                        else:
+                            g_solve_mask = m_g.mask
                         est_g = ransac_translation(
-                            rays_i, rj_g, R_ji_imu, m_g.mask,
+                            rays_i, rj_g, R_ji_imu, g_solve_mask,
                             jax.random.fold_in(key, 7),
                             num_hyps=be.ransac_hyps, thresh=be.ransac_thresh,
+                            uv_i=uv_i,
+                            dispersion_pow=be.ransac_dispersion_pow,
                         )
                         t_g = resolve_direction_sign(
                             rays_i, rj_g, R_ji_imu, est_g.t_dir,
@@ -321,7 +342,7 @@ class VIOEngine:
                             est_g.num_inliers
                             > fe.fallback_win_margin * est_inliers
                         ) | (
-                            dir_trig
+                            dir_accept_gt
                             & (cos_g > cos_est + 0.15)
                             & (est_g.num_inliers
                                >= jnp.maximum(
@@ -689,7 +710,8 @@ class VIOEngine:
                     need_align,
                     lambda s: vi_align_window(
                         s, R_bc, en.gravity,
-                        min_factors=en.vi_align_min_factors),
+                        min_factors=en.vi_align_min_factors,
+                        min_excitation=en.vi_align_min_excitation),
                     lambda s: s,
                     new_state,
                 )

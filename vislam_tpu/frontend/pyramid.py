@@ -31,7 +31,13 @@ def build_pyramid(image, num_levels: int):
     """List of `num_levels` images, each 2x downsampled by 2x2 average pooling.
 
     Average pooling (vs the reference's INTER_LINEAR resize) is the natural
-    anti-aliased 0.5x on TPU: one reduce_window per level, fully fused.
+    anti-aliased 0.5x on TPU. A reduce_window formulation measured faster
+    (round 4, fetch-forced: ~0 us vs 134 us/frame) but was REJECTED: its
+    different bf16 rounding order perturbs detected keypoints enough to
+    flip the window-BA corrupted-anchor recovery test (a genuinely
+    bistable property; tests/test_refine.py) — 4.6% of the frame budget is
+    not worth destabilizing it. Strided-slice adds measured 4690 us (the
+    runtime serializes strided slices — never use them on the hot path).
     """
     levels = [image]
     cur = image

@@ -123,13 +123,25 @@ class FrontendConfig:
     # this, meters). Period-aliased match sets pass RANSAC with healthy
     # inlier counts, so the absolute floor alone cannot detect them;
     # measured separation: healthy regimes cos >= +0.7 (p10), aliased
-    # repetitive frames down to -0.2. The gated re-solve is accepted on a
-    # decisive direction improvement at comparable inlier support.
+    # repetitive frames down to -0.2. Round 4: the trigger fires in EVERY
+    # scale mode; the direction-improvement ACCEPTANCE channel stays
+    # GT-scale-only (in GT-free mode the IMU direction is also the scale
+    # source — accepting toward it closes a feedback loop), so GT-free
+    # rescues accept only on the scale-decoupled decisive inlier win.
     fallback_dir_cos: float = 0.4
     fallback_dir_min_norm: float = 0.03
     max_matches: int = 512
     match_cell_rows: int = 7       # reference grid filter ~ sqrt(49) (Matcher.cpp:171-244)
     match_cell_cols: int = 7
+    # Two-view SOLVER uses fine-level (level-0) matches only (round 4).
+    # Coarse-level keypoints are EXTRA MATCHING capacity (adversarial
+    # regimes: +50% matches at equal-or-better inlier rates) but their
+    # 2-4 px localization quantization measurably pollutes the
+    # precision-critical epipolar translation solve: EVAL config 1
+    # 0.199 -> 0.183 and config 3b marg 0.867 -> 0.519 with the solver
+    # restricted to fine matches (the full r02 single-scale accuracy back,
+    # while matching/BA/loop keep the multi-scale capacity).
+    solver_fine_only: bool = True
 
     @property
     def kp_per_cell_by_level(self):
@@ -157,6 +169,17 @@ class BackendConfig:
     # /root/reference/src/VISystem.cpp:612-769: 1000 iters, threshold 370).
     ransac_hyps: int = 512         # vectorized hypotheses per frame
     ransac_thresh: float = 0.02    # normalized-ray epipolar residual threshold
+    # Dispersion-weighted hypothesis voting (round 4): score = inliers x
+    # (inlier spatial std)^pow. Defends against independently-moving
+    # occluders: compact occluder inlier clusters tilt count-only voting
+    # ~5 deg off (measured vs a static-only oracle at 2.4 deg); dispersion
+    # weighting restores the spread-out static mode. Exponent sweep
+    # (end-to-end ATE, final round-4 code): occlusion 0.166/0.136/0.102/
+    # 0.102/0.099 and gentle cfg1 0.189/0.202/0.200/0.206/0.206 at pow
+    # 0/1/1.25/1.5/2 — 1.25 buys the full 40% occlusion gain (beating the
+    # OpenCV reference's 0.127) at a ~5% gentle cost; aggressive + GT-free
+    # VI configs are flat across the sweep. 0 disables (count-only votes).
+    ransac_dispersion_pow: float = 1.25
     # Sliding-window BA
     window_size: int = 10          # keyframes (reference num_max_keyframes=10)
     max_landmarks: int = 512
@@ -297,12 +320,18 @@ class EngineConfig:
     # GT-free bootstrap (engine/bootstrap.py): once the window holds
     # vi_align_min_factors valid preintegrated factors in IMU-scale mode,
     # the VINS-style linear alignment recovers the monocular scale
-    # correction + gravity + keyframe velocities and re-anchors the engine
-    # (one-shot; retried each promotion until its sanity gates pass).
+    # correction + gravity + keyframe velocities and re-anchors the engine.
+    # Round 4: ITERATED — an applied alignment latches only when the fit
+    # reaches the healthy floor, so later cleaner windows re-fire and
+    # refine a coarse first re-anchor.
     # Principled replacement for the reference's GT scale injection
     # (/root/reference/src/VISystem.cpp:523-527).
     vi_align_bootstrap: bool = True
     vi_align_min_factors: int = 4
+    # Velocity-excitation floor (m/s of IMU-integrated velocity spread
+    # across the window) below which the alignment fit is untrusted (the
+    # (scale, along-track velocity) degeneracy; BENCH_NOTES round 3).
+    vi_align_min_excitation: float = 0.5
 
 
 @dataclasses.dataclass(frozen=True)
