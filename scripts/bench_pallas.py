@@ -1,111 +1,20 @@
-"""Pallas-vs-XLA on the real TPU chip: detector and matcher cores.
+"""DEPRECATED shim — see scripts/bench_extract_variants.py.
 
-Decides the use_pallas_detector / use_pallas_matcher defaults with measured
-device time at production shapes (768x480 frame, K=512, D=128), per VERDICT
-round-1 weak #1.
+The round-2 version of this script timed scan-amortized ENQUEUE rates
+(block_until_ready is a no-op on this backend; BENCH_NOTES "the enqueue
+illusion") and concluded XLA/Pallas parity — struck in round 4 by the
+fetch-forced re-measurement: the fused Pallas response+NMS kernel is
+~40-1500x the XLA single-channel conv chain, and the defaults flipped.
 
-Methodology (round-3 forensic rewrite; BENCH_NOTES "The enqueue
-illusion"): block_until_ready DOES NOT WAIT on this backend, so all earlier
-runs of this script measured the async enqueue rate. Now:
-  - scan-amortized: ITERS serial data-dependent iterations inside ONE
-    program (divides out dispatch overhead; iterations execute serially
-    because the carry chains);
-  - each loop returns ONE SCALAR derived from the final carry, and timing
-    runs dispatch -> np.asarray(scalar) — the host fetch is the only
-    completion barrier this backend honors (~25 ms RTT, amortized over
-    ITERS iterations);
-  - candidates interleaved round-robin, min and median reported.
-Under this runtime's ~0.1 ms/op execution overhead, fused Pallas kernels
-that collapse many ops into one are exactly what gets rewarded — this
-re-measurement reverses the round-2 "XLA at least as fast" verdict.
+This shim now just runs the honest benchmark so old invocations (CLAUDE.md
+command table, muscle memory) land on real numbers.
 """
 
-import json
+import runpy
 import os
-import sys
-import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-import numpy as np
-
-ITERS = 64
-
-
-def main():
-    import jax
-    import jax.numpy as jnp
-
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    print("backend:", jax.devices()[0].platform, flush=True)
-
-    from vislam_tpu.frontend.features import extract_features
-    from vislam_tpu.frontend.match import match_descriptors
-    from vislam_tpu.utils.config import FrontendConfig
-
-    rng = np.random.default_rng(0)
-    img = jnp.asarray(rng.uniform(0, 255, (480, 768)).astype(np.float32))
-    K, D = 512, 128
-    a = rng.normal(size=(K, D)).astype(np.float32)
-    b = rng.normal(size=(K, D)).astype(np.float32)
-    a /= np.linalg.norm(a, axis=-1, keepdims=True)
-    b /= np.linalg.norm(b, axis=-1, keepdims=True)
-    ma = np.ones(K, bool)
-    uv = rng.uniform(0, 480, (K, 2)).astype(np.float32)
-    da, db = jnp.asarray(a), jnp.asarray(b)
-    ma_j = jnp.asarray(ma)
-    uv_j = jnp.asarray(uv)
-
-    def extract_loop(fc):
-        def loop(im):
-            def body(c, _):
-                f = extract_features(c, fc)
-                # Consume uv AND desc so neither detect nor describe is DCE'd.
-                return c + 1e-9 * (f.score[0] + f.desc[0, 0]), f.uv[0, 0]
-            c, ys = jax.lax.scan(body, im, None, length=ITERS)
-            return jnp.sum(c[::64, ::64]) + jnp.sum(ys)  # one scalar output
-        return jax.jit(loop), (img,)
-
-    def match_loop(use_pallas, gated):
-        def loop(x, y, m, u):
-            def body(c, _):
-                kw = dict(uv_pred=u, uv_b=u, gate_radius=40.0) if gated else {}
-                mt = match_descriptors(c, m, y, m, use_pallas=use_pallas, **kw)
-                return c + 1e-9 * mt.dist[0], mt.dist[0]
-            c, ys = jax.lax.scan(body, x, None, length=ITERS)
-            return jnp.sum(c[0]) + jnp.sum(ys)  # one scalar output
-        return jax.jit(loop), (da, db, ma_j, uv_j)
-
-    cases = {
-        "extract_jnp": extract_loop(FrontendConfig()),
-        "extract_pallas": extract_loop(FrontendConfig(use_pallas_detector=True)),
-        "match_jnp": match_loop(False, False),
-        "match_pallas": match_loop(True, False),
-        "match_jnp_gated": match_loop(False, True),
-        "match_pallas_gated": match_loop(True, True),
-    }
-
-    # Compile everything first (fetch-forced settle).
-    for name, (fn, args) in cases.items():
-        np.asarray(fn(*args))
-        print(f"compiled {name}", flush=True)
-
-    # Interleaved reps; fetch-forced completion per rep.
-    times = {name: [] for name in cases}
-    for rep in range(5):
-        for name, (fn, args) in cases.items():
-            t0 = time.perf_counter()
-            np.asarray(fn(*args))
-            times[name].append((time.perf_counter() - t0) / ITERS)
-
-    results = {}
-    for name, ts in times.items():
-        ts = np.array(ts) * 1e3
-        results[name] = {"min_ms": float(ts.min()), "med_ms": float(np.median(ts))}
-        print(f"{name:22s} min={ts.min():8.5f} ms  med={np.median(ts):8.5f} ms",
-              flush=True)
-    print(json.dumps(results, indent=1))
-
-
-if __name__ == "__main__":
-    main()
+runpy.run_path(
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "bench_extract_variants.py"),
+    run_name="__main__",
+)

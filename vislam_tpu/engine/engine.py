@@ -234,6 +234,7 @@ class VIOEngine:
                 est_e = ransac_essential(
                     rays_i, rays_j, solve_mask, key,
                     num_hyps=be.ransac_hyps, thresh=be.ransac_thresh,
+                    uv_i=uv_i, dispersion_pow=be.ransac_dispersion_pow,
                 )
                 R_ji = est_e.R_ji
                 t_dir = est_e.t_dir

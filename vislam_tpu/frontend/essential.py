@@ -92,12 +92,19 @@ def ransac_essential(
     key,
     num_hyps: int = 256,
     thresh: float = 0.01,
+    uv_i=None,
+    dispersion_pow: float = 0.0,
 ) -> EssentialEstimate:
     """Full two-view relative pose from correspondences alone.
 
     rays_*: (M, 3) unit camera rays; mask: (M,) valid matches.
     thresh is on the normalized algebraic residual |x_j^T E x_i| with
     ||E||_F = sqrt(2) (unit translation, rotation-orthonormal essential).
+
+    dispersion_pow > 0 (with uv_i, (M, 2) frame-i pixels): hypothesis
+    score = inliers x (inlier spatial std)^pow — the moving-occluder
+    defense of pose.ransac_translation, applied to the vision-only path
+    (KITTI streets have independent movers too).
     """
     M = rays_i.shape[0]
     A = _epipolar_design(rays_i, rays_j)  # (M, 9)
@@ -116,7 +123,16 @@ def ransac_essential(
 
     # --- Score all hypotheses: (H, 9) x (9, M).
     resid = jnp.abs(e_h @ A.T)                         # (H, M)
-    votes = jnp.sum((resid < thresh) * w[None, :], axis=1)
+    inl_tab = (resid < thresh) * w[None, :]
+    votes = jnp.sum(inl_tab, axis=1)
+    if dispersion_pow > 0.0 and uv_i is not None:
+        uvn = uv_i / jnp.asarray(
+            [jnp.max(uv_i[:, 0]) + 1.0, jnp.max(uv_i[:, 1]) + 1.0])
+        nv = jnp.maximum(votes, 1.0)[:, None]
+        mu = (inl_tab @ uvn) / nv
+        second = (inl_tab @ (uvn * uvn)) / nv
+        disp = jnp.sqrt(jnp.maximum(jnp.sum(second - mu * mu, -1), 1e-12))
+        votes = votes * disp ** dispersion_pow
     best = jnp.argmax(votes)
     e_best = e_h[best]
 
