@@ -111,3 +111,32 @@ def test_harris_kernel_matches_jnp_pipeline():
     np.testing.assert_allclose(
         ref[interior][both], pal[interior][both], rtol=5e-3, atol=5e-2
     )
+
+
+def test_response_kernel_families_match_jnp():
+    """The generalized Pallas response kernel (round 4: dog/hessian/fast in
+    addition to shi_tomasi/harris) must reproduce the XLA response family
+    (frontend/detect.DETECTOR_RESPONSES) away from image borders (the halo
+    absorbs wrap; borders are masked downstream by the detector)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vislam_tpu.frontend.detect import DETECTOR_RESPONSES, _nms
+    from vislam_tpu.ops.harris_kernel import harris_nms_pallas
+
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.uniform(0, 255, (240, 376)).astype(np.float32))
+    for det, fn in DETECTOR_RESPONSES.items():
+        ref = np.asarray(fn(img))
+        nms_p, resp_p = harris_nms_pallas(img, interpret=True, detector=det)
+        resp_p = np.asarray(resp_p)
+        b = 12
+        scale = max(1.0, np.abs(ref[b:-b, b:-b]).max())
+        err = np.abs(resp_p[b:-b, b:-b] - ref[b:-b, b:-b]).max() / scale
+        assert err < 1e-4, (det, err)
+        # NMS field marks exactly the 5x5 local maxima of the response.
+        nms_ref = np.asarray(_nms(jnp.asarray(ref), 2))
+        agree = (np.isneginf(np.asarray(nms_p)[b:-b, b:-b])
+                 == np.isneginf(nms_ref[b:-b, b:-b]))
+        assert agree.mean() > 0.999, (det, agree.mean())

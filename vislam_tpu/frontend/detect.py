@@ -254,11 +254,14 @@ def detect_keypoints(
     all_uv, all_score, all_level, all_angle = [], [], [], []
     for lvl in range(levels_used):
         img = pyramid[lvl]
-        if (use_pallas and detector == "shi_tomasi"
-                and jax.default_backend() == "tpu"):
+        if use_pallas and jax.default_backend() == "tpu":
+            # Fused VMEM response+NMS kernel, ALL detector families
+            # (round 4): the XLA conv chains cost 5-7 ms/frame on this
+            # runtime regardless of family.
             from vislam_tpu.ops.harris_kernel import harris_nms_auto
 
-            resp, full_resp = harris_nms_auto(img.astype(jnp.float32))
+            resp, full_resp = harris_nms_auto(img.astype(jnp.float32),
+                                              detector=detector)
         else:
             # Response in the pyramid's dtype (bf16 fast path); selection,
             # NMS ordering, and subpixel refinement in float32.

@@ -27,6 +27,7 @@ is the AKAZE analog.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -37,7 +38,25 @@ def contrast_factor(image, percentile: float = 70.0, presmooth: float = 1.0):
     """KAZE's contrast parameter k: the given percentile of the gradient
     magnitude of the presmoothed image (over pixels with nonzero gradient,
     approximated here by the plain quantile — identical in practice on
-    natural images)."""
+    natural images).
+
+    TPU path (round 4): the gradient field comes from the fused Pallas
+    response kernel (XLA single-channel convs cost ~0.8 ms each here), and
+    the quantile sorts a 4x-downsampled field (a 360k-element sort costs
+    ~2 ms; the 70th percentile of the pooled field is statistically
+    indistinguishable for a smoothing heuristic — k only steers the
+    conductivity scale)."""
+    if jax.default_backend() == "tpu" and presmooth == 1.0:
+        from vislam_tpu.ops.harris_kernel import harris_nms_auto
+
+        _, mag2 = harris_nms_auto(image.astype(jnp.float32),
+                                  detector="_gradmag2")
+        h, w = mag2.shape
+        pooled = mag2[: h - h % 4, : w - w % 4].reshape(
+            h // 4, 4, w // 4, 4).mean(axis=(1, 3))
+        k = jnp.sqrt(jnp.maximum(jnp.quantile(pooled, percentile / 100.0),
+                                 0.0))
+        return jnp.maximum(k, 1e-3)
     sm = gaussian_blur(image, presmooth)
     gx, gy = scharr_gradients(sm)
     mag = jnp.sqrt(gx * gx + gy * gy)
@@ -92,9 +111,18 @@ def evolve(L, k, T: float, tau_max: float = 0.25):
     """FED-evolve image L by diffusion time T with contrast k.
 
     Conductivity is recomputed from the (lightly smoothed) current image at
-    every step, as in KAZE.
-    """
-    for tau in fed_tau_steps(T, tau_max):
+    every step, as in KAZE. On the TPU backend the whole FED cycle runs as
+    ONE Pallas kernel (ops/fed_kernel.py): the XLA formulation pays ~4
+    single-channel convs PER STEP at ~0.8 ms each on this runtime
+    (BENCH_NOTES round 4) — tens of ms per octave; the fused kernel is one
+    HBM round-trip."""
+    taus = fed_tau_steps(T, tau_max)
+    if jax.default_backend() == "tpu":
+        from vislam_tpu.ops.fed_kernel import fed_evolve_pallas
+
+        return fed_evolve_pallas(L, jnp.asarray(k, jnp.float32),
+                                 tuple(taus))
+    for tau in taus:
         gx, gy = scharr_gradients(gaussian_blur(L, 1.0, radius=2))
         g = pm_g2(gx, gy, k)
         L = _diffusion_step(L, g, tau)

@@ -64,7 +64,88 @@ def _conv1d_cols(x, k):
     return out
 
 
-def _kernel(img_hbm, out_ref, resp_ref, scratch, sem):
+def _gauss_taps(radius: int, sigma: float):
+    x = np.arange(-radius, radius + 1, dtype=np.float32)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    k /= k.sum()
+    return tuple(float(v) for v in k)
+
+
+def _scharr_vmem(img):
+    """Scharr gradients (3x3 separable: smooth [3,10,3]/16, diff [-1,0,1]/2)."""
+    sm = (3.0 / 16.0, 10.0 / 16.0, 3.0 / 16.0)
+    df = (-0.5, 0.0, 0.5)
+    gx = _conv1d_rows(_conv1d_cols(img, sm), df)
+    gy = _conv1d_cols(_conv1d_rows(img, sm), df)
+    return gx, gy
+
+
+def _response_vmem(img, detector: str):
+    """Per-pixel corner/blob response, entirely in VMEM — the Pallas
+    analogs of the XLA response family in frontend/detect.py
+    (DETECTOR_RESPONSES; the reference's detector factory,
+    /root/reference/src/Camera.cpp:94-138)."""
+    if detector == "shi_tomasi" or detector == "harris":
+        gx, gy = _scharr_vmem(img)
+        a = _conv1d_rows(_conv1d_cols(gx * gx, _G), _G)
+        b = _conv1d_rows(_conv1d_cols(gx * gy, _G), _G)
+        c = _conv1d_rows(_conv1d_cols(gy * gy, _G), _G)
+        if detector == "harris":
+            det = a * c - b * b
+            tr = a + c
+            return det - 0.04 * tr * tr
+        half_tr = 0.5 * (a + c)
+        half_df = 0.5 * (a - c)
+        return half_tr - jnp.sqrt(half_df * half_df + b * b + 1e-12)
+    if detector == "dog":
+        # |blur(sigma1=1.0, r=3) - blur(sigma2=1.6, r=4)| (detect.py match).
+        k1 = _gauss_taps(3, 1.0)
+        k2 = _gauss_taps(4, 1.6)
+        b1 = _conv1d_cols(_conv1d_rows(img, k1), k1)
+        b2 = _conv1d_cols(_conv1d_rows(img, k2), k2)
+        return jnp.abs(b1 - b2)
+    if detector == "hessian":
+        # det of Hessian of blur(sigma=1.5, r=3) via iterated Scharr.
+        k = _gauss_taps(3, 1.5)
+        sm_img = _conv1d_cols(_conv1d_rows(img, k), k)
+        gx, gy = _scharr_vmem(sm_img)
+        gxx, gxy = _scharr_vmem(gx)
+        _, gyy = _scharr_vmem(gy)
+        return gxx * gyy - gxy * gxy
+    if detector == "_gradmag2":
+        # Squared gradient magnitude of blur(sigma=1.0, r=3) — the KAZE
+        # contrast-factor statistic field (frontend/nonlinear.py
+        # contrast_factor), in-kernel so it costs no XLA convs.
+        k = _gauss_taps(3, 1.0)
+        sm_img = _conv1d_cols(_conv1d_rows(img, k), k)
+        gx, gy = _scharr_vmem(sm_img)
+        return gx * gx + gy * gy
+    if detector == "fast":
+        # FAST-16 segment test (detect.py fast_response semantics): ring of
+        # 16 shifted copies, circular min-window over 9 contiguous samples.
+        from vislam_tpu.frontend.detect import _FAST_RING
+
+        ring = [
+            _roll(_roll(img, -int(dv), 0), -int(du), 1)
+            for dv, du in _FAST_RING
+        ]
+        bright = [r - img for r in ring]
+        dark = [-b for b in bright]
+
+        def arc_score(d):
+            best = None
+            for s0 in range(16):
+                m = d[s0]
+                for s in range(1, 9):
+                    m = jnp.minimum(m, d[(s0 + s) % 16])
+                best = m if best is None else jnp.maximum(best, m)
+            return best
+
+        return jnp.maximum(arc_score(bright), arc_score(dark))
+    raise ValueError(f"unknown detector {detector!r}")
+
+
+def _kernel(detector, img_hbm, out_ref, resp_ref, scratch, sem):
     # Grid is (batch, row_blocks); batch size 1 folds to the unbatched case.
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -75,19 +156,7 @@ def _kernel(img_hbm, out_ref, resp_ref, scratch, sem):
     cp.wait()
     img = scratch[:]
 
-    # Scharr gradients (3x3 separable: smooth [3,10,3]/16, diff [-1,0,1]/2).
-    sm = (3.0 / 16.0, 10.0 / 16.0, 3.0 / 16.0)
-    df = (-0.5, 0.0, 0.5)
-    gx = _conv1d_rows(_conv1d_cols(img, sm), df)
-    gy = _conv1d_cols(_conv1d_rows(img, sm), df)
-
-    # Structure tensor, blurred.
-    a = _conv1d_rows(_conv1d_cols(gx * gx, _G), _G)
-    b = _conv1d_rows(_conv1d_cols(gx * gy, _G), _G)
-    c = _conv1d_rows(_conv1d_cols(gy * gy, _G), _G)
-    half_tr = 0.5 * (a + c)
-    half_df = 0.5 * (a - c)
-    resp = half_tr - jnp.sqrt(half_df * half_df + b * b + 1e-12)
+    resp = _response_vmem(img, detector)
 
     # 5x5 (radius 2) NMS via shifted maxima.
     pooled = resp
@@ -104,8 +173,9 @@ def _kernel(img_hbm, out_ref, resp_ref, scratch, sem):
     resp_ref[0, :, :] = resp[_HALO:-_HALO, :]
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def _harris_nms_batched(imgs, interpret: bool = False):
+@partial(jax.jit, static_argnames=("interpret", "detector"))
+def _harris_nms_batched(imgs, interpret: bool = False,
+                        detector: str = "shi_tomasi"):
     """(B, H, W) images -> (nms, resp), both (B, H, W). Batch rides the
     leading grid dimension (needed because pallas_call with an ANY-space
     input cannot be vmapped — the engine's batch/multi-sequence runners
@@ -121,7 +191,7 @@ def _harris_nms_batched(imgs, interpret: bool = False):
     imgp = jnp.pad(imgs, ((0, 0), (_HALO, _HALO + ph), (_HALO, _HALO + pw)))
     grid = Hb // _BH
     out, resp = pl.pallas_call(
-        _kernel,
+        partial(_kernel, detector),
         grid=(B, grid),
         out_shape=(
             jax.ShapeDtypeStruct((B, Hb, Wp), jnp.float32),
@@ -147,7 +217,8 @@ def _harris_nms_batched(imgs, interpret: bool = False):
     return out[:, :H, _HALO:_HALO + W], resp[:, :H, _HALO:_HALO + W]
 
 
-def harris_nms_pallas(img, interpret: bool = False):
+def harris_nms_pallas(img, interpret: bool = False,
+                      detector: str = "shi_tomasi"):
     """(..., H, W) image(s) -> (nms'd response, raw response), same shape.
 
     Equivalent to (detect._nms(r, radius=2), r) for
@@ -162,7 +233,8 @@ def harris_nms_pallas(img, interpret: bool = False):
     lead = img.shape[:-2]
     H, W = img.shape[-2:]
     imgs = img.reshape((-1, H, W))
-    out, resp = _harris_nms_batched(imgs, interpret=interpret)
+    out, resp = _harris_nms_batched(imgs, interpret=interpret,
+                                    detector=detector)
     return out.reshape(*lead, H, W), resp.reshape(*lead, H, W)
 
 
@@ -170,12 +242,24 @@ def harris_nms_pallas(img, interpret: bool = False):
 # the entry the production detector uses — jax.vmap of the engine step
 # (batch/multi-sequence runners, engine/batch.py) otherwise dies inside
 # pallas_call ("memory space ANY only ... trivial index_map").
-@jax.custom_batching.custom_vmap
-def harris_nms_auto(img):
-    return harris_nms_pallas(img)
+def harris_nms_auto(img, detector: str = "shi_tomasi"):
+    return _AUTO_BY_DETECTOR[detector](img)
 
 
-@harris_nms_auto.def_vmap
-def _harris_vmap_rule(axis_size, in_batched, img):
-    out, resp = harris_nms_pallas(img)
-    return (out, resp), (True, True)
+def _make_auto(detector):
+    @jax.custom_batching.custom_vmap
+    def auto(img):
+        return harris_nms_pallas(img, detector=detector)
+
+    @auto.def_vmap
+    def _rule(axis_size, in_batched, img):
+        out, resp = harris_nms_pallas(img, detector=detector)
+        return (out, resp), (True, True)
+
+    return auto
+
+
+_AUTO_BY_DETECTOR = {
+    d: _make_auto(d)
+    for d in ("shi_tomasi", "harris", "dog", "hessian", "fast", "_gradmag2")
+}
