@@ -36,27 +36,31 @@ from vislam_tpu.utils.config import SystemConfig
 def _build_tracks(window, ratio: float, mutual: bool):
     """Match every window keyframe directly against the newest (anchor)
     keyframe. Returns (ptr (W, K), ok (W, K)): ptr[w, l] is the keypoint row
-    in keyframe w observing anchor-track l."""
+    in keyframe w observing anchor-track l.
+
+    Round 4: ONE vmapped match over the W slots instead of a static loop —
+    the (W, K, K) batched distance matmul fills the MXU where W sequential
+    (K, K) programs each underfilled it (the window refine's dominant
+    cost)."""
     W, K = window.kp_mask.shape
     anchor = jnp.clip(window.count - 1, 0, W - 1)
     a_desc = jnp.take(window.desc, anchor, axis=0)
     a_mask = jnp.take(window.kp_mask, anchor, axis=0) & jnp.take(
         window.valid, anchor
     )
-    slot_ids = jnp.arange(W)
-    ptrs, oks = [], []
-    for w in range(W):
+
+    def one(desc_w, kp_mask_w, valid_w):
         m = match_descriptors(
-            a_desc, a_mask,
-            window.desc[w], window.kp_mask[w] & window.valid[w],
+            a_desc, a_mask, desc_w, kp_mask_w & valid_w,
             ratio=ratio, mutual=mutual,
         )
-        is_anchor = slot_ids[w] == anchor
-        ptr_w = jnp.where(is_anchor, jnp.arange(K, dtype=jnp.int32), m.idx_b)
-        ok_w = jnp.where(is_anchor, a_mask, m.mask)
-        ptrs.append(ptr_w)
-        oks.append(ok_w)
-    return jnp.stack(ptrs), jnp.stack(oks)  # (W, K) each
+        return m.idx_b, m.mask
+
+    ptr, ok = jax.vmap(one)(window.desc, window.kp_mask, window.valid)
+    is_anchor = (jnp.arange(W) == anchor)[:, None]
+    ptr = jnp.where(is_anchor, jnp.arange(K, dtype=jnp.int32)[None, :], ptr)
+    ok = jnp.where(is_anchor, a_mask[None, :], ok)
+    return ptr, ok  # (W, K) each
 
 
 @partial(jax.jit, static_argnames=("cfg",))
