@@ -242,3 +242,59 @@ def test_direction_trigger_rescues_period_aliasing():
     assert not any(r["fb"] for r in h_on)
     np.testing.assert_array_equal(
         np.stack([r["p"] for r in h_on]), np.stack([r["p"] for r in h_off]))
+
+
+def test_gtfree_rescue_scale_decoupled():
+    """Round 4: the rescue TRIGGER fires in GT-free (IMU-scale) mode, but
+    acceptance toward the IMU direction stays GT-scale-only — GT-free
+    rescues accept purely on the scale-decoupled inlier win. Regression
+    guard for the round-3 feedback loop (accepting toward the IMU in
+    GT-free mode corrupted drifting runs, 0.30 -> 1.13): a GT-free
+    aggressive VI-BA run with the trigger live must be as accurate as the
+    round-3 trigger-gated configuration."""
+    import dataclasses
+
+    from vislam_tpu.data import SyntheticConfig, make_synthetic_sequence
+    from vislam_tpu.engine.refine import refine_window
+    from vislam_tpu.eval import ate_rmse
+    from vislam_tpu.utils.config import SystemConfig
+
+    seq = make_synthetic_sequence(SyntheticConfig(
+        n_frames=40, n_landmarks=350, seed=1,
+        trans_amp=(2.0, 1.4, 0.7), rot_amp=(0.12, 0.15, 0.3)))
+
+    def run(dir_cos):
+        c = SystemConfig()
+        c = dataclasses.replace(
+            c,
+            frontend=dataclasses.replace(c.frontend,
+                                         fallback_dir_cos=dir_cos),
+            backend=dataclasses.replace(c.backend, vi_factors=True),
+        )
+        calib = seq["calib"]
+        eng = VIOEngine(calib, c)
+        state = eng.initialize(
+            seq["images"][0], q_wb0=seq["gt_quat"][0],
+            v_w0=seq["gt_vel"][0], p_w0=seq["gt_pos"][0])
+        poses = []
+        for j in range(1, len(seq["images"])):
+            lo, hi = (j - 1) * 10, j * 10
+            imu = np.zeros((16, 6), np.float32)
+            imu[:10] = np.concatenate(
+                [seq["imu_gyro"][lo:hi], seq["imu_accel"][lo:hi]], -1)
+            dt = np.zeros(16, np.float32)
+            dt[:10] = 1 / 200.0
+            state, res = eng.step(state, seq["images"][j], imu, dt, -1.0)
+            if bool(res.is_keyframe):
+                state = refine_window(state, eng.cfg, calib.fx, calib.fy,
+                                      calib.cx, calib.cy)
+            poses.append(np.asarray(state.p_wc))
+        return float(ate_rmse(np.array(poses),
+                              seq["gt_pos"][1:len(seq["images"])],
+                              align=False))
+
+    ate_live = run(0.4)      # trigger armed (default)
+    ate_off = run(-2.0)      # direction trigger can never fire
+    # The armed GT-free trigger must not measurably harm the run (the
+    # round-3 feedback loop cost ~4x here).
+    assert ate_live < ate_off * 1.15 + 0.02, (ate_live, ate_off)

@@ -201,14 +201,17 @@ def describe_keypoints(img, uv, angle, smooth_sigma: float = 0.6):
     mag = jnp.sqrt(gxr * gxr + gyr * gyr + 1e-12)
     ori = jnp.arctan2(gyr, gxr)
 
-    # Orientation soft-assignment (K, S, 8).
+    # Orientation soft-assignment (K, S, 8), GATHER-FREE (round 4): the
+    # linear bin weights are the circular tent function
+    # w_b = max(0, 1 - dist_circ(obin, b)) — pure elementwise arithmetic.
+    # The eye[o0i]/eye[o1i] formulation emitted two (K*S, 8) row gathers,
+    # which this runtime serializes (the census's last big custom-call
+    # fusions in the step).
     obin = (ori / (2.0 * jnp.pi) + 0.5) * _NBINS - 0.5
-    o0 = jnp.floor(obin)
-    do = obin - o0
-    o0i = jnp.mod(o0.astype(jnp.int32), _NBINS)
-    o1i = jnp.mod(o0i + 1, _NBINS)
-    eye = jnp.eye(_NBINS, dtype=jnp.float32)
-    O = (1.0 - do)[..., None] * eye[o0i] + do[..., None] * eye[o1i]
+    bins = jnp.arange(_NBINS, dtype=jnp.float32)
+    d = obin[..., None] - bins  # (K, S, 8)
+    d = d - _NBINS * jnp.round(d / _NBINS)  # circular wrap to [-4, 4)
+    O = jnp.maximum(0.0, 1.0 - jnp.abs(d))
 
     # Histogram: contraction over samples lands on the MXU.
     M = mag[..., None] * O  # (K, S, 8)
