@@ -161,7 +161,8 @@ def sample_bilinear_patches(fields, lu, lv, lo: float, hi: float):
                       preferred_element_type=jnp.float32)        # (K,S,C)
 
 
-def describe_keypoints(img, uv, angle, smooth_sigma: float = 0.6):
+def describe_keypoints(img, uv, angle, smooth_sigma: float = 0.6,
+                       upright: bool = False):
     """Describe K keypoints on one image.
 
     img: (H, W) float32 (the pyramid level the keypoints live on)
@@ -175,26 +176,55 @@ def describe_keypoints(img, uv, angle, smooth_sigma: float = 0.6):
     dynamic-slice gathers), computes blur+Scharr in patch space (shift-
     adds), and bilinear-samples via separable one-hot contractions on the
     MXU.  Interior keypoints produce exactly the full-image values (the
-    3-px patch margin absorbs the conv support); total ~1.5 ms.
+    3-px patch margin absorbs the conv support).
+
+    upright=True (STATIC; the framework default — cfg.oriented is off for
+    VIO): the sample grid is axis-aligned, so the bilinear weights
+    factorize over the 16x16 GRID rows/columns — A, B shrink from
+    (K, 256, P) to (K, 16, P), 16x fewer weight FLOPs/bytes. `angle` is
+    ignored in this path (it is zero by construction at the call site).
     """
     P = _PATCH
     patches, iu0, iv0 = extract_patches(img, uv, P)
     gxp, gyp = _patch_gradients(patches, smooth_sigma)
-
-    ca = jnp.cos(angle)
-    sa = jnp.sin(angle)
-    offs = jnp.asarray(_OFFS)  # (S, 2)
-    rx = ca[:, None] * offs[None, :, 0] - sa[:, None] * offs[None, :, 1]
-    ry = sa[:, None] * offs[None, :, 0] + ca[:, None] * offs[None, :, 1]
-    coords = uv[:, None, :] + jnp.stack([rx, ry], axis=-1)  # (K, S, 2)
-
-    lu = coords[..., 0] - iu0[:, None].astype(jnp.float32)
-    lv = coords[..., 1] - iv0[:, None].astype(jnp.float32)
     m = float(_PATCH_MARGIN)
+    lo, hi = m, P - 1 - m - 1e-3
     fields = jnp.stack([gxp, gyp], axis=-1)  # (K, P, P, 2)
-    samp = sample_bilinear_patches(fields, lu, lv, m, P - 1 - m - 1e-3)
-    gxs = samp[..., 0]  # (K, S)
-    gys = samp[..., 1]
+
+    if upright:
+        # Axis-aligned grid: samples (i, j) at (v + dy_i, u + dx_j) with
+        # the STATIC 16-point per-axis offsets of _static_geometry
+        # (offs[s] = (dx[j], dy[i]), s = i*16 + j).
+        dx = jnp.asarray(_OFFS[:_GRID, 0])          # (16,) column offsets
+        dy = jnp.asarray(_OFFS[::_GRID, 1])         # (16,) row offsets
+        lv = jnp.clip(uv[:, 1:2] + dy[None, :]
+                      - iv0[:, None].astype(jnp.float32), lo, hi)  # (K,16)
+        lu = jnp.clip(uv[:, 0:1] + dx[None, :]
+                      - iu0[:, None].astype(jnp.float32), lo, hi)
+        iota = jnp.arange(P, dtype=jnp.float32)
+        A = jnp.maximum(0.0, 1.0 - jnp.abs(lv[..., None] - iota))  # (K,16,P)
+        B = jnp.maximum(0.0, 1.0 - jnp.abs(lu[..., None] - iota))
+        t1 = jnp.einsum("kip,kpqc->kiqc", A, fields,
+                        preferred_element_type=jnp.float32)  # (K,16,P,2)
+        samp = jnp.einsum("kjq,kiqc->kijc", B, t1,
+                          preferred_element_type=jnp.float32)  # (K,16,16,2)
+        gxs = samp[..., 0].reshape(uv.shape[0], _S)
+        gys = samp[..., 1].reshape(uv.shape[0], _S)
+        ca = jnp.ones(uv.shape[0], jnp.float32)
+        sa = jnp.zeros(uv.shape[0], jnp.float32)
+    else:
+        ca = jnp.cos(angle)
+        sa = jnp.sin(angle)
+        offs = jnp.asarray(_OFFS)  # (S, 2)
+        rx = ca[:, None] * offs[None, :, 0] - sa[:, None] * offs[None, :, 1]
+        ry = sa[:, None] * offs[None, :, 0] + ca[:, None] * offs[None, :, 1]
+        coords = uv[:, None, :] + jnp.stack([rx, ry], axis=-1)  # (K, S, 2)
+
+        lu = coords[..., 0] - iu0[:, None].astype(jnp.float32)
+        lv = coords[..., 1] - iv0[:, None].astype(jnp.float32)
+        samp = sample_bilinear_patches(fields, lu, lv, lo, hi)
+        gxs = samp[..., 0]  # (K, S)
+        gys = samp[..., 1]
     # Rotate gradients into the keypoint frame.
     gxr = ca[:, None] * gxs + sa[:, None] * gys
     gyr = -sa[:, None] * gxs + ca[:, None] * gys

@@ -68,8 +68,12 @@ def extract_features(image, cfg: FrontendConfig = FrontendConfig()) -> Features:
     angle = kps.angle if cfg.oriented else jnp.zeros_like(kps.angle)
     if cfg.descriptor == "brief":
         from vislam_tpu.frontend.binary_desc import describe_binary as _describe
+        _dkw = {}
     else:
         _describe = describe_keypoints
+        # Upright (angle-free) descriptors take the grid-factorized
+        # sampling fast path (descriptor.py round 4).
+        _dkw = {"upright": not cfg.oriented}
     cells = cfg.grid_rows * cfg.grid_cols
     descs = []
     off = 0
@@ -80,7 +84,7 @@ def extract_features(image, cfg: FrontendConfig = FrontendConfig()) -> Features:
         scale = float(2 ** lvl)
         descs.append(
             _describe(pyr[lvl].astype(jnp.float32), kps.uv[sl] / scale,
-                      angle[sl])
+                      angle[sl], **_dkw)
         )
     desc = jnp.concatenate(descs, axis=0)
     return Features(
