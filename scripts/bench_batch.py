@@ -41,13 +41,15 @@ def main():
         )
         kf0 = jnp.stack([jnp.asarray(s["gt_pos"][0], jnp.float32) for s in seqs])
 
+        # Completion barrier = HOST FETCH: block_until_ready is a no-op on
+        # this backend (BENCH_NOTES "the enqueue illusion").
         f, r = run_batch_scan(eng, states, inputs, kf0)
-        jax.block_until_ready(r.p_wc)
+        np.asarray(r.p_wc[..., 0, 0])
         reps = 5
         t0 = time.perf_counter()
         for _ in range(reps):
             f, r = run_batch_scan(eng, states, inputs, kf0)
-            jax.block_until_ready(r.p_wc)
+            np.asarray(r.p_wc[..., 0, 0])
         wall = (time.perf_counter() - t0) / reps
         fps = B * (n_frames - 1) / wall
         print(f"B={B}:  {fps:10.1f} frames/s/chip   ({wall*1000:.1f} ms/batch)")

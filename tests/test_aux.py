@@ -51,9 +51,10 @@ def test_checkpoint_roundtrip(tmp_path):
 
 
 def test_checkpoint_legacy_migration(tmp_path):
-    """A checkpoint saved BEFORE EngineState grew a trailing field (e.g.
-    vi_aligned, added round 3) must still load, filling the new field from
-    its registered default (round-4 advisor fix)."""
+    """A checkpoint saved BEFORE EngineState grew its trailing fields
+    (vi_aligned in round 3; kf_depths/kf_depth_valid in round 4) must still
+    load, filling the new fields from their registered defaults (round-4
+    advisor fix; shaped defaults recover K from the stored kf_feat.uv)."""
     import jax
 
     from vislam_tpu.engine import VIOEngine
@@ -66,11 +67,13 @@ def test_checkpoint_legacy_migration(tmp_path):
     save_checkpoint(path, state, frame_index=3)
 
     # Rewrite the file as a pre-versioning checkpoint: positional keys
-    # only (no __paths), with the trailing vi_aligned leaf dropped.
+    # only (no __paths), with every post-r2 trailing leaf dropped.
     data = dict(np.load(path))
     paths = [str(p) for p in data.pop("__paths")]
-    drop = [i for i, p in enumerate(paths) if "vi_aligned" in p]
-    assert len(drop) == 1
+    drop = [i for i, p in enumerate(paths)
+            if ("vi_aligned" in p or "kf_depths" in p
+                or "kf_depth_valid" in p or "shadow_" in p)]
+    assert len(drop) == 7
     n = sum(1 for k in data if k.startswith("leaf_"))
     legacy = {"__frame_index": data["__frame_index"]}
     j = 0
@@ -85,6 +88,8 @@ def test_checkpoint_legacy_migration(tmp_path):
     state2, fidx = load_checkpoint(legacy_path)
     assert fidx == 3
     assert bool(np.asarray(state2.vi_aligned)) is False
+    assert state2.kf_depths.shape == state.kf_depths.shape
+    assert not np.asarray(state2.kf_depth_valid).any()
     # All surviving leaves intact.
     l_old = jax.tree.leaves(state)
     l_new = jax.tree.leaves(state2)

@@ -81,14 +81,21 @@ def vi_align_window(state: EngineState, R_bc, gravity: float,
     # per window slot: R_wb = R_cw^T R_bc^T (vi_ba.py convention).
     R_wb = jnp.einsum("wji,kj->wik", win.R_cw, R_bc)
     p = -jnp.einsum("wji,wj->wi", win.R_cw, win.t_cw)          # (W, 3)
+    # The FIT runs on the SHADOW positions (round 4): the depth-chain keeps
+    # them consistently scaled even when the per-step IMU scale is corrupt
+    # (cold start), which is the global-scale model vi_align assumes —
+    # measured: fitting the REAL cold-start window yields NEGATIVE scale
+    # until ~frame 21 (BENCH_NOTES gate trace). The health check (r_cur)
+    # stays on the REAL state, so healthy warm runs latch untouched.
+    p_sh = state.shadow_win_p                                  # (W, 3)
 
     # Interval k -> k+1 uses the factor stored at slot k+1.
     mask = win.imu_valid[1:] & win.valid[1:] & win.valid[:-1]  # (W-1,)
     g_w = jnp.array([0.0, 0.0, -gravity], jnp.float32)
     dv, dp, dt = win.imu_dv[1:], win.imu_dp[1:], win.imu_dt[1:]
 
-    align = vi_align_fixed_gravity(R_wb, p, dv, dp, dt, g_w, mask=mask)
-    check = vi_align(R_wb, p, dv, dp, dt, mask=mask)
+    align = vi_align_fixed_gravity(R_wb, p_sh, dv, dp, dt, g_w, mask=mask)
+    check = vi_align(R_wb, p_sh, dv, dp, dt, mask=mask)
 
     # --- Excitation (state-independent): spread of the IMU-integrated
     # cumulative velocity across the window. Near-constant velocity makes
@@ -137,11 +144,29 @@ def vi_align_window(state: EngineState, R_bc, gravity: float,
     # later promotions, as corrupt keyframes roll out of the window.
     inconsistent = (r_cur > resid_floor) & (r_fit < r_cur / resid_ratio)
     apply = trustworthy & inconsistent
+    # Post-latch supervision applies VELOCITY ONLY (round 4): once a
+    # healthy determination was made, the trajectory scale is trusted and
+    # re-writing past window positions from the (approximately consistent)
+    # shadow can hurt global ATE (measured: 40-frame warm run 0.125 ->
+    # 0.270 with full re-anchors live post-latch, vs 0.417 -> 0.280
+    # improvement at 60 frames from velocity supervision). Velocity is the
+    # state whose error COMPOUNDS in open loop — correcting it stops the
+    # drift without touching history.
+    apply_full = apply & (~state.vi_aligned)
+    # Post-latch corrections wait for MEANINGFUL drift (2x the floor):
+    # correcting a barely-inconsistent state trades real trajectory for
+    # fit noise (measured: 40-frame warm 0.125 -> 0.148 with the plain
+    # floor; the 60-frame wins survive the higher trigger).
+    apply_vel = apply & (
+        (~state.vi_aligned) | (r_cur > 2.0 * resid_floor))
 
-    # Re-anchor: rescale every window/engine position about the slot-0
-    # keyframe, and install the aligned velocities.
+    # Re-anchor: replace the window/engine positions with the SCALED SHADOW
+    # geometry, anchored at the real slot-0 keyframe, and install the
+    # aligned velocities. (The shadow shape is the consistently-scaled
+    # trajectory; s maps it to metric.)
     p0 = p[0]
-    p_new = p0 + s * (p - p0)
+    p_sh0 = p_sh[0]
+    p_new = p0 + s * (p_sh - p_sh0)
     t_cw_new = -jnp.einsum("wij,wj->wi", win.R_cw, p_new)
     # Velocities: write back only where at least one adjacent interval
     # constrained them (others are regularization artifacts).
@@ -151,14 +176,15 @@ def vi_align_window(state: EngineState, R_bc, gravity: float,
     v_new = jnp.where(adj[:, None], align.velocities, win.v_w)
 
     anchor = jnp.clip(win.count - 1, 0, W - 1)
-    kf_p_new = p0 + s * (state.kf_p_wc - p0)
-    p_wc_new = p0 + s * (state.p_wc - p0)
+    kf_p_new = p0 + s * (state.shadow_kf_p_wc - p_sh0)
+    p_wc_new = p0 + s * (state.shadow_p_wc - p_sh0)
     v_anchor = jnp.take(v_new, anchor, axis=0)
 
-    sel = lambda a, b: jnp.where(apply, a, b)
+    sel = lambda a, b: jnp.where(apply_full, a, b)
+    selv = lambda a, b: jnp.where(apply_vel, a, b)
     new_win = win._replace(
         t_cw=sel(t_cw_new, win.t_cw),
-        v_w=sel(v_new, win.v_w),
+        v_w=selv(v_new, win.v_w),
     )
     # An applied re-anchor invalidates any marginalization prior's
     # linearization point — reset it (the next BA rebuilds it fresh).
@@ -167,17 +193,19 @@ def vi_align_window(state: EngineState, R_bc, gravity: float,
         window=new_win,
         kf_p_wc=sel(kf_p_new, state.kf_p_wc),
         p_wc=sel(p_wc_new, state.p_wc),
-        v_w=sel(v_anchor, state.v_w),
+        v_w=selv(v_anchor, state.v_w),
         marg_H=sel(z99, state.marg_H),
         marg_pend_H=sel(z99, state.marg_pend_H),
         # Displacement-since-keyframe accumulators are zero at promotion
         # (the only time this runs), so no rescale is needed there.
-        # ITERATED re-alignment (round 4): an APPLIED alignment latches only
-        # if the fit itself reached the healthy floor — a coarse first
-        # re-anchor (corrupt early keyframes still in the window) leaves
-        # vi_aligned False, so later, cleaner windows refine it. Repeated
-        # application cannot oscillate on a healthy state: apply requires
-        # BOTH r_cur above the floor AND a decisive model-comparison win.
-        vi_aligned=state.vi_aligned | healthy
-        | (apply & (r_fit <= resid_floor)),
+        # ITERATED re-alignment (round 4): an APPLY never latches — only a
+        # HEALTHY check at a (possibly later) promotion does. A first
+        # re-anchor from a window still holding corrupt keyframes is
+        # coarse, and the residual velocity error re-grows inconsistency
+        # (measured: post-apply r_cur 0.003 -> 0.023 over 10 frames);
+        # leaving vi_aligned False lets the alignment re-fire and
+        # re-anchor until the state STAYS consistent. Oscillation on a
+        # healthy state is impossible: apply requires r_cur above the
+        # floor AND a decisive model-comparison win every time.
+        vi_aligned=state.vi_aligned | healthy,
     )

@@ -449,7 +449,51 @@ class VIOEngine:
                 pre_acc.dR, pre_acc.dv, pre_acc.dp
             )
             # Scale: GT norm (reference setGtRes parity, VISystem.cpp:415-419)
-            # or IMU preintegration prediction in VI mode.
+            # or IMU preintegration prediction in VI mode. BOOTSTRAP PHASE
+            # (round 4, open-loop GT-free only): before the VI alignment has
+            # fired, the per-step IMU scale is a function of the (possibly
+            # cold/corrupt) velocity state — each step differently wrong, so
+            # the window is not consistently scaled and the alignment's
+            # global-scale model cannot fit (measured: fitted scale NEGATIVE
+            # until ~frame 21 on gentle cold starts). Instead the scale
+            # CHAINS through the triangulated keyframe depths (classical
+            # relative-scale propagation): depth of a re-observed landmark
+            # scales linearly with the baseline, so s = median(stored_depth
+            # / unit-baseline depth) keeps the whole pre-alignment
+            # trajectory consistent up to ONE global factor — exactly what
+            # the alignment then fixes.
+            chain_static = (en.vi_align_bootstrap and not en.vision_rotation
+                            and not be.vi_factors)
+            s_shadow = imu_t_norm
+            d_j_u = None
+            chain_pair_ok = None
+            if chain_static:
+                from vislam_tpu.backend.triangulate import (
+                    triangulate_midpoint as _tri_chain,
+                )
+
+                _, d_i_u, d_j_u, gap_u = _tri_chain(rays_i, rays_j, R_ji,
+                                                    t_dir)
+                chain_pair_ok = (
+                    m.mask & est_inlier_mask
+                    & (d_i_u > 1e-3) & (d_j_u > 1e-3)
+                    & (gap_u < 0.08 * d_i_u)
+                    & jnp.isfinite(d_i_u) & jnp.isfinite(d_j_u)
+                )
+                ok_ratio = chain_pair_ok & state.kf_depth_valid
+                ratio = state.kf_depths / jnp.maximum(d_i_u, 1e-6)
+                s_med = jnp.nanmedian(jnp.where(ok_ratio, ratio, jnp.nan))
+                s_chain_ok = (
+                    (jnp.sum(ok_ratio) >= 12) & jnp.isfinite(s_med)
+                    & (s_med > 1e-4) & (s_med < 1e4)
+                )
+                # Fallback for a broken/unseeded chain: the PREVIOUS
+                # chained step length (consecutive 20 Hz steps have similar
+                # lengths) — never the IMU scale, which is the corrupt
+                # quantity on a cold start; its garbage values are what
+                # made the round-4 first shadow attempt inconsistent
+                # (measured: fitted scale still negative).
+                s_shadow = jnp.where(s_chain_ok, s_med, state.shadow_scale)
             scale = jnp.where(gt_t_norm >= 0.0, gt_t_norm, imu_t_norm)
             t_ji = t_dir * scale  # frame-j coords: X_j = R_ji X_i + t_ji
             dp_world = dp_step  # single-frame prediction for the fallbacks
@@ -639,6 +683,39 @@ class VIOEngine:
                     is_kf, new_window.v_w.at[slot].set(v_new), new_window.v_w
                 )
             )
+            # SHADOW trajectory + depth handoff for the vision scale chain.
+            new_kf_depths = state.kf_depths
+            new_kf_depth_valid = state.kf_depth_valid
+            shadow_p_j = state.shadow_kf_p_wc + dp_since_kf
+            new_shadow_win = state.shadow_win_p
+            if chain_static:
+                # Shadow position: same rotations, chain-scaled translation.
+                t_cw_i_sh = -R_cw_i @ state.shadow_kf_p_wc
+                t_cw_j_sh = R_ji @ t_cw_i_sh + t_dir * s_shadow
+                shadow_p_j = jnp.where(
+                    solved, -R_cw_j.T @ t_cw_j_sh,
+                    state.shadow_kf_p_wc + dp_since_kf)
+                # Promoted keyframe: each matched landmark's depth in the
+                # NEW keyframe camera = unit-baseline depth x the SHADOW
+                # step scale, written at the new keypoint's row via a
+                # one-hot reduction (no scatter).
+                K_kp = state.kf_feat.uv.shape[0]
+                tgt = m.idx_b
+                oh = (tgt[:, None] == jnp.arange(K_kp)[None, :]) \
+                    & chain_pair_ok[:, None]
+                depth_new = jnp.max(
+                    jnp.where(oh, (d_j_u * s_shadow)[:, None], 0.0), axis=0)
+                valid_new = jnp.any(oh, axis=0) & (depth_new > 1e-6)
+                new_kf_depths = jnp.where(is_kf, depth_new,
+                                          state.kf_depths)
+                new_kf_depth_valid = jnp.where(is_kf, valid_new,
+                                               state.kf_depth_valid)
+                rolled_shadow = jnp.where(
+                    full, jnp.roll(state.shadow_win_p, -1, axis=0),
+                    state.shadow_win_p)
+                new_shadow_win = jnp.where(
+                    is_kf, rolled_shadow.at[slot].set(shadow_p_j),
+                    state.shadow_win_p)
             zero33 = jnp.zeros((3, 3), jnp.float32)
             new_state = EngineState(
                 q_wb=q_wb,
@@ -685,6 +762,15 @@ class VIOEngine:
                 marg_pend_t_cw=state.marg_pend_t_cw,
                 marg_pend_v=state.marg_pend_v,
                 vi_aligned=state.vi_aligned,
+                kf_depths=new_kf_depths,
+                kf_depth_valid=new_kf_depth_valid,
+                shadow_win_p=new_shadow_win,
+                shadow_p_wc=shadow_p_j,
+                shadow_kf_p_wc=jnp.where(is_kf, shadow_p_j,
+                                         state.shadow_kf_p_wc),
+                shadow_scale=jnp.where(
+                    solved, jnp.clip(s_shadow, 1e-4, 1e4),
+                    state.shadow_scale),
             )
             if (en.vi_align_bootstrap and not en.vision_rotation
                     and not be.vi_factors):
@@ -702,8 +788,16 @@ class VIOEngine:
                 # bootstrap active; see BENCH_NOTES round 3).
                 from vislam_tpu.engine.bootstrap import vi_align_window
 
+                # Round 4: the alignment SUPERVISES the whole open-loop
+                # run — no latch gates the cond. A healthy state is a
+                # bit-exact no-op (the model comparison only applies on
+                # measured inconsistency), and post-alignment velocity
+                # error re-grows in open loop (measured r_cur 0.003 ->
+                # 0.023 over ~10 frames after a cold-start re-anchor), so
+                # later re-fires keep re-anchoring. vi_aligned remains a
+                # DIAGNOSTIC latch (first healthy determination).
                 need_align = (
-                    is_kf & (gt_t_norm < 0.0) & (~new_state.vi_aligned)
+                    is_kf & (gt_t_norm < 0.0)
                     & (jnp.sum(new_state.window.imu_valid)
                        >= en.vi_align_min_factors)
                 )

@@ -111,6 +111,30 @@ class EngineState(NamedTuple):
     # GT-free bootstrap: set once the linear visual-inertial alignment
     # (engine/bootstrap.py) has re-anchored scale/gravity/velocities.
     vi_aligned: jnp.ndarray      # () bool
+    # Vision-chained monocular scale (round 4, bootstrap phase): depths of
+    # the keyframe's keypoints (KF-camera frame, current world scale),
+    # triangulated at the previous promotion. Chaining the per-step
+    # translation magnitude through these depths keeps the PRE-alignment
+    # trajectory consistently scaled (one global free factor) — the
+    # property the linear VI alignment requires; with the raw per-step IMU
+    # scale, a cold start (v0 wrong) scales every step differently and no
+    # global-scale fit exists (measured: fitted scale NEGATIVE until frame
+    # ~21; BENCH_NOTES round-4 gate trace).
+    kf_depths: jnp.ndarray       # (K,) f32 (SHADOW scale)
+    kf_depth_valid: jnp.ndarray  # (K,) bool
+    # The SHADOW trajectory the chain maintains: same rotations as the real
+    # state, translations scaled by the depth chain — consistently scaled
+    # up to one global factor even under a cold start. The alignment FITS
+    # against these positions; the real trajectory is only touched when an
+    # apply fires (warm runs stay bit-exact). Trailing fields: legacy
+    # positional checkpoints still pad cleanly.
+    shadow_win_p: jnp.ndarray    # (W, 3) shadow position per window slot
+    shadow_p_wc: jnp.ndarray     # (3,) current shadow position
+    shadow_kf_p_wc: jnp.ndarray  # (3,) shadow position of the last keyframe
+    shadow_scale: jnp.ndarray    # () last chained step length (fallback +
+                                 # chain seed; NEVER the IMU scale — that is
+                                 # exactly the quantity that is corrupt on a
+                                 # cold start)
 
 
 def init_window(W: int, K: int, D: int) -> KeyframeWindow:
@@ -203,4 +227,11 @@ def init_state(
         marg_pend_t_cw=jnp.zeros(3, jnp.float32),
         marg_pend_v=jnp.zeros(3, jnp.float32),
         vi_aligned=jnp.zeros((), bool),
+        kf_depths=jnp.zeros((K,), jnp.float32),
+        kf_depth_valid=jnp.zeros((K,), bool),
+        shadow_win_p=jnp.zeros((window_size, 3), jnp.float32)
+        .at[0].set(jnp.asarray(p_wc0, jnp.float32)),
+        shadow_p_wc=jnp.asarray(p_wc0, jnp.float32),
+        shadow_kf_p_wc=jnp.asarray(p_wc0, jnp.float32),
+        shadow_scale=jnp.asarray(0.05, jnp.float32),
     )

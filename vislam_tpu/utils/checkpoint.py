@@ -25,8 +25,16 @@ from vislam_tpu.frontend.features import Features
 
 # Defaults for fields added to the state after checkpoints may already
 # exist in the wild, keyed by the LAST path component (the field name).
+# Values are either arrays or callables taking K (the keypoint capacity,
+# recovered from the stored kf_feat.uv leaf) for shaped defaults.
 _ADDED_FIELD_DEFAULTS = {
     "vi_aligned": np.asarray(False),
+    "kf_depths": lambda K, W: np.zeros((K,), np.float32),
+    "kf_depth_valid": lambda K, W: np.zeros((K,), bool),
+    "shadow_win_p": lambda K, W: np.zeros((W, 3), np.float32),
+    "shadow_p_wc": lambda K, W: np.zeros((3,), np.float32),
+    "shadow_kf_p_wc": lambda K, W: np.zeros((3,), np.float32),
+    "shadow_scale": lambda K, W: np.asarray(0.05, np.float32),
 }
 
 
@@ -79,15 +87,25 @@ def load_checkpoint(path: str):
     template = _template_from_leaves(stored)
     cur_paths = [p for p, _ in _leaf_paths(template)]
 
+    def _capacity(leaves_by_path):
+        K = W = 0
+        for p, leaf in leaves_by_path:
+            if p.endswith("uv") and "kf_feat" in p and leaf.ndim == 2:
+                K = int(leaf.shape[0])
+            if p.endswith("uv") and "window" in p and leaf.ndim == 3:
+                W = int(leaf.shape[0])
+        return K, W
+
     if "__paths" in data.files:
         by_path = {str(p): leaf
                    for p, leaf in zip(list(data["__paths"]), stored)}
+        K_cap, W_cap = _capacity(list(by_path.items()))
         leaves = []
         for p in cur_paths:
             if p in by_path:
                 leaves.append(by_path[p])
             else:
-                leaves.append(_default_for(p))
+                leaves.append(_default_for(p, K_cap, W_cap))
     elif n == len(cur_paths):
         leaves = stored
     else:
@@ -97,18 +115,20 @@ def load_checkpoint(path: str):
             raise ValueError(
                 f"checkpoint has {n} leaves but the current EngineState has "
                 f"{len(cur_paths)} — cannot migrate a newer checkpoint")
+        K_cap, W_cap = _capacity(list(zip(cur_paths[:n], stored)))
         leaves = list(stored)
         for p in cur_paths[n:]:
-            leaves.append(_default_for(p))
+            leaves.append(_default_for(p, K_cap, W_cap))
 
     state = jax.tree.unflatten(jax.tree.structure(template), leaves)
     return state, frame_index
 
 
-def _default_for(path: str):
+def _default_for(path: str, K_cap: int = 0, W_cap: int = 0):
     name = path.split(".")[-1].strip("']")
     if name in _ADDED_FIELD_DEFAULTS:
-        return _ADDED_FIELD_DEFAULTS[name]
+        d = _ADDED_FIELD_DEFAULTS[name]
+        return d(K_cap, W_cap) if callable(d) else d
     raise ValueError(
         f"checkpoint is missing state field {path!r} and no migration "
         f"default is registered for it")
