@@ -86,15 +86,17 @@ def main():
             trans_amp=(2.0, 1.4, 0.7), rot_amp=(0.12, 0.15, 0.3))),
     }
     print(f"{'scenario':10s} {'warm off':>9} {'warm on':>8} "
-          f"{'cold off':>9} {'cold on':>8} {'cold VI-BA':>11}")
+          f"{'cold off':>9} {'cold on':>8} "
+          f"{'warm VI-BA':>11} {'cold VI-BA':>11}")
     for name, seq in scens.items():
         w_off = run(seq, cold=False, bootstrap=False)
         w_on = run(seq, cold=False, bootstrap=True)
         c_off = run(seq, cold=True, bootstrap=False)
         c_on = run(seq, cold=True, bootstrap=True)
+        w_ba = run(seq, cold=False, bootstrap=True, vi_ba=True)
         c_ba = run(seq, cold=True, bootstrap=True, vi_ba=True)
         print(f"{name:10s} {w_off:>9.3f} {w_on:>8.3f} "
-              f"{c_off:>9.3f} {c_on:>8.3f} {c_ba:>11.3f}")
+              f"{c_off:>9.3f} {c_on:>8.3f} {w_ba:>11.3f} {c_ba:>11.3f}")
 
 
 if __name__ == "__main__":

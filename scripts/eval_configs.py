@@ -108,7 +108,105 @@ PINNED = {
     "3": "seed 1, 60 frames, 350 landmarks, trans (2.0,1.4,0.7), rot (0.12,0.15,0.3)",
     "4": "seed 21, 86 frames, 300 landmarks",
     "5": "seeds 0-7, 24 frames, 250 landmarks",
+    "6": "seed 42, 500 frames, 400 landmarks (long run: GT-free VI-BA + "
+         "reloc + checkpoint/resume + loop correction in one run)",
 }
+
+
+def run_long(seq):
+    """Config 6 (round 5, VERDICT #6): one LONG run (500 frames, ~120+
+    keyframes — the /root/reference calibrationKitti.xml regime is seq 00's
+    4,541 frames; this is the synthetic-oracle analog) exercising the
+    flagship GT-free VI-BA mode, keyframe archiving, relocalization
+    machinery, checkpoint/save + resume (bitwise state round-trip at frame
+    250), and end-of-run loop correction — while measuring drift GROWTH by
+    segment and the pose-rotation orthogonality error (CLAUDE.md rule 5:
+    unchecked, composition error doubles per keyframe and diverges at
+    ~25-45 kfs; 120+ keyframes is far past that cliff)."""
+    import dataclasses
+    import tempfile
+
+    import jax.numpy as jnp
+
+    from vislam_tpu.backend.trajectory_opt import (
+        correct_trajectory,
+        record_from_feat,
+    )
+    from vislam_tpu.engine import VIOEngine
+    from vislam_tpu.engine.refine import refine_window
+    from vislam_tpu.eval import ate_rmse
+    from vislam_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+    from vislam_tpu.utils.config import SystemConfig
+
+    calib = seq["calib"]
+    cfg = SystemConfig()
+    cfg = dataclasses.replace(
+        cfg, backend=dataclasses.replace(cfg.backend, vi_factors=True))
+    eng = VIOEngine(calib, cfg)
+    state = eng.initialize(
+        seq["images"][0], q_wb0=seq["gt_quat"][0],
+        v_w0=seq["gt_vel"][0], p_w0=seq["gt_pos"][0])
+    n = len(seq["images"])
+    poses = []
+    archive = []
+    ortho_err_max = 0.0
+    ckpt_resumed = False
+    t0 = time.perf_counter()
+    for j in range(1, n):
+        lo, hi = (j - 1) * 10, j * 10
+        imu = np.zeros((16, 6), np.float32)
+        imu[:10] = np.concatenate(
+            [seq["imu_gyro"][lo:hi], seq["imu_accel"][lo:hi]], -1)
+        dt = np.zeros(16, np.float32)
+        dt[:10] = 1 / 200.0
+        state, res = eng.step(state, seq["images"][j], imu, dt, -1.0)
+        if bool(res.is_keyframe):
+            state = refine_window(state, eng.cfg, calib.fx, calib.fy,
+                                  calib.cx, calib.cy)
+            archive.append(record_from_feat(
+                j, state.kf_R_wc, state.kf_p_wc, state.kf_feat))
+            R = np.asarray(state.kf_R_wc)
+            ortho_err_max = max(ortho_err_max, float(np.abs(
+                R @ R.T - np.eye(3)).max()))
+        if j == 250:
+            # Checkpoint round-trip mid-run: the resumed state must be
+            # bitwise identical (deterministic replay depends on it).
+            import jax as _jax
+            with tempfile.TemporaryDirectory() as td:
+                p = os.path.join(td, "ck.npz")
+                save_checkpoint(p, state, j, {"last_kf": j})
+                state2, fidx = load_checkpoint(p)
+                same = all(
+                    np.array_equal(np.asarray(a), np.asarray(b))
+                    for a, b in zip(_jax.tree.leaves(state),
+                                    _jax.tree.leaves(state2)))
+                ckpt_resumed = bool(same and fidx == j)
+                state = state2
+        poses.append(np.asarray(state.p_wc))
+    wall = time.perf_counter() - t0
+    poses = np.array(poses)
+    gt = seq["gt_pos"][1:n]
+    out = {
+        "ate_full": ate_rmse(poses, gt, align=False),
+        "ate_f1_100": ate_rmse(poses[:100], gt[:100], align=False),
+        "ate_f100_300": ate_rmse(poses[100:300], gt[100:300], align=False),
+        "ate_f300_500": ate_rmse(poses[300:], gt[300:], align=False),
+        "n_keyframes": len(archive),
+        "ortho_err_max": ortho_err_max,
+        "ckpt_resume_bitwise": ckpt_resumed,
+        "fps_cpu_harness": (n - 1) / wall,
+    }
+    if len(archive) > 10:
+        p_corr, _, info = correct_trajectory(
+            archive, calib.fx, calib.fy, calib.cx, calib.cy,
+            min_separation=10, sim_thresh=0.80, min_inliers=25)
+        kf_gt = np.array([seq["gt_pos"][k.frame_index] for k in archive])
+        out["n_loops"] = len(info["loops"])
+        out["kf_maxerr_before"] = float(np.linalg.norm(
+            np.stack([k.p_wc for k in archive]) - kf_gt, axis=-1).max())
+        out["kf_maxerr_after"] = float(np.linalg.norm(
+            p_corr - kf_gt, axis=-1).max())
+    return out
 
 
 def _load_history():
@@ -149,7 +247,7 @@ def main():
     seq = make_synthetic_sequence(SyntheticConfig(n_frames=80, n_landmarks=300, seed=0))
     r = run_vio(seq, gt_scale=True)
     results["1_mono_gt_scale"] = {
-        "ate": ate_rmse(r["poses"], r["gt"], align=False), "fps_host_loop": r["fps"],
+        "ate": ate_rmse(r["poses"], r["gt"], align=False), "fps_cpu_harness": r["fps"],
     }
 
     # 2. Full visual-inertial, IMU scale (config #2 analog) — open-loop and
@@ -159,11 +257,24 @@ def main():
     gl = np.linalg.norm(np.diff(r["gt"], axis=0), axis=1).sum()
     r_vb = run_vio(seq, gt_scale=False, vi_ba=True)
     el_vb = np.linalg.norm(np.diff(r_vb["poses"], axis=0), axis=1).sum()
+    # Unsupervised open loop (shadow-chain supervision off) — the r03
+    # baseline semantics; the default open loop is SUPERVISED since r04
+    # (VERDICT r04 #2: the rows must name which system they describe).
+    import dataclasses as _dc0
+
+    from vislam_tpu.utils.config import SystemConfig as _SC0
+
+    _c_unsup = _SC0()
+    _c_unsup = _dc0.replace(_c_unsup, engine=_dc0.replace(
+        _c_unsup.engine, vi_align_bootstrap=False))
+    r_unsup = run_vio(seq, cfg=_c_unsup, gt_scale=False)
     results["2_visual_inertial_imu_scale"] = {
         "ate": ate_rmse(r["poses"], r["gt"], align=False),
         "scale_ratio": float(el / gl),
         "ate_vi_ba": ate_rmse(r_vb["poses"], r_vb["gt"], align=False),
         "scale_ratio_vi_ba": float(el_vb / gl),
+        "ate_open_unsupervised": ate_rmse(r_unsup["poses"], r_unsup["gt"],
+                                          align=False),
     }
 
     # 3. Aggressive motion (config #3 analog): report each refinement variant
@@ -238,6 +349,12 @@ def main():
         "ate_max": float(np.max(ates)),
     }
 
+    # 6. Long run (round 5, VERDICT #6): 500 frames, GT-free VI-BA, reloc
+    # machinery + checkpoint round-trip + loop correction in one run.
+    seq6 = make_synthetic_sequence(SyntheticConfig(
+        n_frames=500, n_landmarks=400, seed=42))
+    results["6_long_run"] = run_long(seq6)
+
     print(json.dumps(results, indent=2, default=float))
 
     # Append to the longitudinal history (configs are pinned; see PINNED).
@@ -311,6 +428,18 @@ def main():
             f"{r5['ate_max']:.3f} m | "
             f"{p('5_multi_sequence_batch', 'ate_mean')} / "
             f"{p('5_multi_sequence_batch', 'ate_max')} |\n")
+        r6 = results["6_long_run"]
+        fh.write(
+            f"| 6 | LONG run: 500 frames GT-free VI-BA, "
+            f"{r6['n_keyframes']} kfs, checkpoint round-trip "
+            f"{'OK' if r6['ckpt_resume_bitwise'] else 'FAIL'} | ATE "
+            f"{r6['ate_full']:.3f} m (segments 1-100/100-300/300-500: "
+            f"{r6['ate_f1_100']:.3f}/{r6['ate_f100_300']:.3f}/"
+            f"{r6['ate_f300_500']:.3f}); {r6.get('n_loops', 0)} loops, "
+            f"kf max err {r6.get('kf_maxerr_before', float('nan')):.3f} -> "
+            f"{r6.get('kf_maxerr_after', float('nan')):.3f} m; "
+            f"R-orthogonality err max {r6['ortho_err_max']:.1e} | "
+            f"{p('6_long_run', 'ate_full')} |\n")
         fh.write(
             "\n## Drift notes (round-over-round attributions)\n\n"
             "- **r02 -> r03 config 1 (0.183 -> 0.199) and 3b marg (0.519 ->"

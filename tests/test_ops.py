@@ -140,3 +140,30 @@ def test_response_kernel_families_match_jnp():
         agree = (np.isneginf(np.asarray(nms_p)[b:-b, b:-b])
                  == np.isneginf(nms_ref[b:-b, b:-b]))
         assert agree.mean() > 0.999, (det, agree.mean())
+
+
+def test_fed_kernel_matches_evolve_and_vmaps():
+    """The fused FED octave kernel must reproduce frontend.nonlinear.evolve
+    for interior pixels, including under a leading batch (the batch/multi-
+    sequence runners jax.vmap the engine step; the custom_vmap rule reroutes
+    batching onto the kernel grid — advisor round 4, same treatment as
+    harris_nms_auto)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vislam_tpu.frontend.nonlinear import evolve, fed_tau_steps
+    from vislam_tpu.ops.fed_kernel import fed_evolve_pallas
+
+    rng = np.random.default_rng(5)
+    img = jnp.asarray(rng.uniform(0, 1, (240, 320)).astype(np.float32))
+    taus = tuple(fed_tau_steps(3.84))
+    ref0 = np.asarray(evolve(img, 0.1, 3.84))
+    ref1 = np.asarray(evolve(img * 0.5, 0.2, 3.84))
+    out = jax.vmap(
+        lambda im, k: fed_evolve_pallas(im, k, taus, interpret=True)
+    )(jnp.stack([img, img * 0.5]), jnp.asarray([0.1, 0.2], np.float32))
+    out = np.asarray(out)
+    b = 24
+    assert np.abs(out[0, b:-b, b:-b] - ref0[b:-b, b:-b]).max() < 1e-4
+    assert np.abs(out[1, b:-b, b:-b] - ref1[b:-b, b:-b]).max() < 1e-4

@@ -449,26 +449,39 @@ def vi_bundle_adjust(
     # Early-exit LM (round 4): the windowed problems converge in ~8-12
     # iterations (accuracy measured FLAT from 20 down to 10 on the EVAL
     # configs); a while_loop capped at `iters` stops after 4 consecutive
-    # iterations without meaningful relative improvement (rejections
-    # count — lambda has quadrupled 4x by then), cutting the in-step
-    # refine's device time without changing converged results.
+    # iterations without meaningful relative improvement, cutting the
+    # in-step refine's device time without changing converged results.
+    # Round 5 (advisor): a REJECTED step does not count toward the stall
+    # during the INITIAL lambda ramp — before any step has been accepted
+    # and while lam < 1 — because with lam0=1e-3 four straight rejections
+    # only grow lambda to 0.256, below what a badly conditioned window may
+    # need, and counting them would terminate the loop near the initial
+    # cost even though LM recovers once lambda grows further. Once ANY
+    # step has been accepted, every no-improvement iteration counts
+    # (that IS convergence) — exempting post-acceptance rejections was
+    # measured to double the in-step refine time (a converged solve keeps
+    # rejecting at small lam and needs ~13 iterations to ramp past 1).
     def w_cond(c):
-        (_, _, _, _, _), i, stall = c
+        (_, _, _, _, _), i, stall, _acc = c
         return (i < iters) & (stall < 4)
 
     def w_body(c):
-        carry, i, stall = c
+        carry, i, stall, accepted_any = c
         prev_cost = carry[4]
+        prev_lam = carry[3]
         new_carry, new_cost = step(carry, None)
         improved = (prev_cost - new_cost) > 1e-6 * (
             jnp.abs(new_cost) + 1e-12)
-        stall = jnp.where(improved, 0, stall + 1)
-        return new_carry, i + 1, stall
+        rejected = new_carry[3] > prev_lam  # reject path: lam *= 4
+        free_ramp = rejected & (prev_lam < 1.0) & (~accepted_any)
+        stall = jnp.where(improved, 0,
+                          jnp.where(free_ramp, stall, stall + 1))
+        return new_carry, i + 1, stall, accepted_any | (~rejected)
 
-    (state, v, bias, lam, cost), _n_it, _ = jax.lax.while_loop(
+    (state, v, bias, lam, cost), _n_it, _, _ = jax.lax.while_loop(
         w_cond, w_body,
         ((state, v, bias0, jnp.asarray(lam0, jnp.float32), cost0),
-         jnp.int32(0), jnp.int32(0)),
+         jnp.int32(0), jnp.int32(0), jnp.asarray(False)),
     )
     info = {"final_cost": cost, "initial_cost": cost0,
             "lam": lam, "iters_run": _n_it}

@@ -366,18 +366,26 @@ def main(argv=None):
             flats = np.asarray(jnp.stack([f for (_, _, _, f) in pending]))
             items = list(pending)
             pending.clear()
+            # Recovery/relocalization re-anchor the DISPATCH-HEAD state, so
+            # they must solve against the newest dispatched image, not the
+            # drained frame's (advisor, round 4: the drained frame runs up
+            # to PIPE_BURST frames behind the head — pairing the head state
+            # with a stale image relocalizes against geometry the state no
+            # longer corresponds to).
+            head_img = items[-1][2]
             for row, (j, st_j, img_j, _) in zip(flats, items):
-                _process_one(j, st_j, img_j, unpack_host_result(row))
+                _process_one(j, st_j, img_j, head_img,
+                             unpack_host_result(row))
 
-        def _process_one(j, st_j, img_j, res):
+        def _process_one(j, st_j, img_j, head_img, res):
             nonlocal state, last_kf, kf_gt_pos
             if res.is_keyframe:
                 last_kf = j
                 archive_keyframe(st_j, j)
                 save_ckpt(st_j, j, last_kf)
-            state, res2 = maybe_recover(eng, state, img_j, res, j)
+            state, res2 = maybe_recover(eng, state, head_img, res, j)
             res = res2
-            new_state = maybe_relocalize(eng, state, img_j, res, calib)
+            new_state = maybe_relocalize(eng, state, head_img, res, calib)
             if new_state is not state:
                 state = new_state
                 last_kf = j  # tracking re-anchored at this frame

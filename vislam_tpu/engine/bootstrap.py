@@ -32,6 +32,7 @@ offline scan runner get it for free.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from vislam_tpu.engine.state import EngineState
@@ -54,7 +55,7 @@ def _current_state_residual(R_wb, p, v_win, dv, dp, dt, g_w, mask):
 
 def vi_align_window(state: EngineState, R_bc, gravity: float,
                     min_factors: int = 4,
-                    scale_bounds=(0.2, 5.0),
+                    scale_bounds=(0.02, 50.0),
                     max_gravity_err: float = 1.5,
                     min_gravity_cos: float = 0.94,
                     min_excitation: float = 0.5,
@@ -72,6 +73,30 @@ def vi_align_window(state: EngineState, R_bc, gravity: float,
         the re-anchoring invalidates), vi_aligned set.
 
     R_bc: camera->body extrinsic rotation (HLO literal / numpy).
+
+    scale_bounds (round 5, advisor): the fit's s maps the SHADOW track to
+    metric, and the shadow's global scale is set by an arbitrary seed (the
+    depth chain preserves only relative scale) — so a tight s-window carries
+    no sanity signal and silently disables the bootstrap on platforms whose
+    true step length is far from the seed. The bound now only rejects
+    degenerate fits (s ~ 0 or exploded); gravity consistency, excitation and
+    the model-comparison ratio carry the sanity load.
+
+    Composition with the default VI-BA mode (round 5, VERDICT #1) is
+    TWO-PHASE, decided in the engine/refine, not here: until the healthy
+    latch (state.vi_aligned), the window BA runs VISION-ONLY (IMU factors
+    masked out in engine/refine.py) and this module supervises exactly as
+    in open loop — the kinematic triggers stay valid because no optimizer
+    is re-balancing velocities against the IMU. After the latch, the full
+    VI-BA engages and this module stops firing. Two rejected alternatives,
+    both measured: (a) the kinematic trigger under a live VI-BA misreads
+    the BA's intentional vision/IMU balance as inconsistency (round 3:
+    gentle warm 0.35 -> 0.90; r_cur does not separate warm from cold —
+    round-4 medians 0.0101 vs 0.0076); (b) a scale-disagreement trigger
+    (fit scale vs the least-squares real-window/shadow scale) drowns in
+    the shadow chain's within-window scale noise (round 5: warm-run ratio
+    band 0.70-2.0 overlaps the 1.5-1.65x cold signature; spurious applies
+    took a warm 40-frame VI-BA run from ~0.37 to 0.71 ATE).
     """
     win = state.window
     W = win.valid.shape[0]
@@ -113,6 +138,17 @@ def vi_align_window(state: EngineState, R_bc, gravity: float,
     # --- Model comparison: current state vs fit.
     r_cur = _current_state_residual(R_wb, p, win.v_w, dv, dp, dt, g_w, mask)
     r_fit = align.residual
+
+    # --- Real-vs-shadow scale (used by the VI-BA trigger): least-squares
+    # scale mapping the centered shadow positions onto the centered real
+    # window positions, over valid slots. Rotation-free by construction
+    # (shadow and real share per-step rotations/directions).
+    w_v = win.valid.astype(jnp.float32)[:, None]
+    n_v = jnp.maximum(jnp.sum(w_v), 1.0)
+    p_c = (p - jnp.sum(p * w_v, 0) / n_v) * w_v
+    p_shc = (p_sh - jnp.sum(p_sh * w_v, 0) / n_v) * w_v
+    s_real = jnp.sum(p_c * p_shc) / jnp.maximum(
+        jnp.sum(p_shc * p_shc), 1e-12)
 
     s = align.scale
     g = check.gravity
@@ -159,6 +195,14 @@ def vi_align_window(state: EngineState, R_bc, gravity: float,
     # floor; the 60-frame wins survive the higher trigger).
     apply_vel = apply & (
         (~state.vi_aligned) | (r_cur > 2.0 * resid_floor))
+    import os as _os
+    if _os.environ.get("VISLAM_DEBUG_ALIGN"):
+        jax.debug.print(
+            "align: nfac={n} exc={e:.3f} s={s:.3f} s_real={sr:.3f} "
+            "r_fit={rf:.4f} r_cur={rc:.4f} trust={t} healthy={h} "
+            "applyF={a} applyV={av}",
+            n=n_fac, e=excitation, s=s, sr=s_real, rf=r_fit, rc=r_cur,
+            t=trustworthy, h=healthy, a=apply_full, av=apply_vel)
 
     # Re-anchor: replace the window/engine positions with the SCALED SHADOW
     # geometry, anchored at the real slot-0 keyframe, and install the

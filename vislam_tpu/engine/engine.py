@@ -462,8 +462,10 @@ class VIOEngine:
             # / unit-baseline depth) keeps the whole pre-alignment
             # trajectory consistent up to ONE global factor — exactly what
             # the alignment then fixes.
-            chain_static = (en.vi_align_bootstrap and not en.vision_rotation
-                            and not be.vi_factors)
+            # Round 5: the chain runs under VI-BA too (VERDICT #1) — the
+            # shadow supervision is composed with the default GT-free mode
+            # via the scale-disagreement trigger in engine/bootstrap.py.
+            chain_static = (en.vi_align_bootstrap and not en.vision_rotation)
             s_shadow = imu_t_norm
             d_j_u = None
             chain_pair_ok = None
@@ -487,13 +489,22 @@ class VIOEngine:
                     (jnp.sum(ok_ratio) >= 12) & jnp.isfinite(s_med)
                     & (s_med > 1e-4) & (s_med < 1e4)
                 )
-                # Fallback for a broken/unseeded chain: the PREVIOUS
-                # chained step length (consecutive 20 Hz steps have similar
-                # lengths) — never the IMU scale, which is the corrupt
+                # Fallback for a broken chain: the PREVIOUS chained step
+                # length (consecutive 20 Hz steps have similar lengths) —
+                # never the per-step IMU scale, which is the corrupt
                 # quantity on a cold start; its garbage values are what
                 # made the round-4 first shadow attempt inconsistent
-                # (measured: fitted scale still negative).
-                s_shadow = jnp.where(s_chain_ok, s_med, state.shadow_scale)
+                # (measured: fitted scale still negative). An UNSEEDED
+                # chain (shadow_scale == 0, first solved step) seeds the
+                # GLOBAL shadow scale once from the clipped IMU prediction
+                # (advisor round 4): only the global factor comes from the
+                # IMU — the fit's s absorbs any error in it — and seeding
+                # near the true step length keeps s near 1 on platforms
+                # whose step length is far from any fixed constant.
+                s_unseeded = jnp.clip(imu_t_norm, 0.005, 0.5)
+                s_fallback = jnp.where(state.shadow_scale > 0.0,
+                                       state.shadow_scale, s_unseeded)
+                s_shadow = jnp.where(s_chain_ok, s_med, s_fallback)
             scale = jnp.where(gt_t_norm >= 0.0, gt_t_norm, imu_t_norm)
             t_ji = t_dir * scale  # frame-j coords: X_j = R_ji X_i + t_ji
             dp_world = dp_step  # single-frame prediction for the fallbacks
@@ -761,7 +772,12 @@ class VIOEngine:
                 marg_pend_R_cw=state.marg_pend_R_cw,
                 marg_pend_t_cw=state.marg_pend_t_cw,
                 marg_pend_v=state.marg_pend_v,
-                vi_aligned=state.vi_aligned,
+                # vi_aligned == "the trajectory scale is trusted/metric".
+                # GT-scale steps are metric by construction, so they latch
+                # it — this is what keeps the two-phase VI-BA gating
+                # (engine/refine.py masks IMU factors on ~vi_aligned) a
+                # no-op for GT-scale runs.
+                vi_aligned=state.vi_aligned | (gt_t_norm >= 0.0),
                 kf_depths=new_kf_depths,
                 kf_depth_valid=new_kf_depth_valid,
                 shadow_win_p=new_shadow_win,
@@ -772,20 +788,21 @@ class VIOEngine:
                     solved, jnp.clip(s_shadow, 1e-4, 1e4),
                     state.shadow_scale),
             )
-            if (en.vi_align_bootstrap and not en.vision_rotation
-                    and not be.vi_factors):
-                # GT-free bootstrap for OPEN-LOOP runs: once enough
-                # preintegrated factors are in the window (IMU-scale mode),
-                # the linear visual-inertial alignment re-anchors
-                # scale/velocities (engine/bootstrap.py). lax.cond: after
-                # the one-shot alignment the branch never executes.
-                # Statically skipped when VI-BA runs (vi_factors): the
-                # window optimizer estimates velocities/scale jointly
-                # against vision AND IMU from the first window on — the
-                # pure-kinematic alignment misreads the BA's intentional
-                # vision/IMU balance as inconsistency and fights it
-                # (measured: gentle warm VI-BA 0.35 -> 0.90 with the
-                # bootstrap active; see BENCH_NOTES round 3).
+            if en.vi_align_bootstrap and not en.vision_rotation:
+                # GT-free bootstrap/supervision: once enough preintegrated
+                # factors are in the window (IMU-scale mode), the linear
+                # visual-inertial alignment re-anchors scale/velocities
+                # (engine/bootstrap.py). Under VI-BA (round 5, VERDICT #1)
+                # the composition is TWO-PHASE: until the healthy latch the
+                # window BA runs VISION-ONLY (engine/refine.py masks the
+                # IMU factors on ~vi_aligned), so this kinematic trigger
+                # stays valid — the round-3 failure was the trigger
+                # fighting a live VI-BA's vision/IMU balance (gentle warm
+                # 0.35 -> 0.90). After the latch the full VI-BA owns
+                # scale/velocity and the supervision stops (need_align
+                # below). The re-anchor runs BEFORE the in-step refine
+                # cond, so the next BA solve starts from corrected
+                # geometry.
                 from vislam_tpu.engine.bootstrap import vi_align_window
 
                 # Round 4: the alignment SUPERVISES the whole open-loop
@@ -801,6 +818,12 @@ class VIOEngine:
                     & (jnp.sum(new_state.window.imu_valid)
                        >= en.vi_align_min_factors)
                 )
+                if be.vi_factors:
+                    # Two-phase hand-off: once latched, the VI-BA owns
+                    # scale and velocities — continuous supervision there
+                    # would re-balance what the optimizer just balanced
+                    # (the round-3 failure mode).
+                    need_align = need_align & (~new_state.vi_aligned)
                 new_state = jax.lax.cond(
                     need_align,
                     lambda s: vi_align_window(

@@ -315,6 +315,28 @@ def refine_window(state: EngineState, cfg: SystemConfig,
         & (info["final_cost"] <= info["initial_cost"])
         & (jnp.sum(obs_mask) >= 16)
     )
+    if be.vi_factors and cfg.engine.vi_align_bootstrap \
+            and not cfg.engine.vision_rotation:
+        # TWO-PHASE initialization (round 5, VERDICT #1): in GT-free runs
+        # the windowed VI-BA is INERT until the linear VI alignment latches
+        # (state.vi_aligned) — phase 1 is exactly the round-4 supervised
+        # open loop. Every BA->state write channel below flows through
+        # `good` (pose/velocity/marg/bias are all *_ok = good & ...), so
+        # one gate suffices. Rationale, both directions measured:
+        #   - IMU factors on a pre-alignment window (cold start: per-step
+        #     scale differently wrong) drag the optimum to a compromise the
+        #     supervision cannot diagnose (round 4: cold VI-BA 1.07-1.86 m,
+        #     the system's worst path, vs supervised open loop 0.41-0.84).
+        #   - Even a VISION-ONLY phase-1 BA breaks the supervision: its
+        #     position polish moves the window off the odometry-propagated
+        #     velocities, inflating the kinematic health residual past the
+        #     floor on HEALTHY warm runs (measured r_cur 0.0096 vs the
+        #     0.007 floor at excitation 0.56), firing a spurious re-anchor
+        #     that took a warm gentle run from 0.058 to 0.73 m position
+        #     error in one apply.
+        # GT-scale steps latch vi_aligned at frame one (engine/engine.py),
+        # so this gate is a no-op outside GT-free runs.
+        good = good & state.vi_aligned
     R_cw_new = jnp.where(good, refined.R, win.R_cw)
     t_cw_new = jnp.where(good, refined.t, win.t_cw)
 

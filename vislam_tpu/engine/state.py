@@ -132,9 +132,16 @@ class EngineState(NamedTuple):
     shadow_p_wc: jnp.ndarray     # (3,) current shadow position
     shadow_kf_p_wc: jnp.ndarray  # (3,) shadow position of the last keyframe
     shadow_scale: jnp.ndarray    # () last chained step length (fallback +
-                                 # chain seed; NEVER the IMU scale — that is
-                                 # exactly the quantity that is corrupt on a
-                                 # cold start)
+                                 # chain seed). 0 = unseeded: the engine
+                                 # seeds the GLOBAL shadow scale once from
+                                 # the first IMU-predicted step length
+                                 # (advisor round 4: a fixed seed pins the
+                                 # fit's s to true_step/seed, so platforms
+                                 # with unusual step lengths tripped the
+                                 # scale sanity bound). Only the global
+                                 # factor comes from the (possibly corrupt)
+                                 # IMU prediction — per-step consistency
+                                 # always comes from the depth chain.
 
 
 def init_window(W: int, K: int, D: int) -> KeyframeWindow:
@@ -233,5 +240,5 @@ def init_state(
         .at[0].set(jnp.asarray(p_wc0, jnp.float32)),
         shadow_p_wc=jnp.asarray(p_wc0, jnp.float32),
         shadow_kf_p_wc=jnp.asarray(p_wc0, jnp.float32),
-        shadow_scale=jnp.asarray(0.05, jnp.float32),
+        shadow_scale=jnp.zeros((), jnp.float32),
     )

@@ -254,7 +254,10 @@ def detect_keypoints(
     all_uv, all_score, all_level, all_angle = [], [], [], []
     for lvl in range(levels_used):
         img = pyramid[lvl]
-        if use_pallas and jax.default_backend() == "tpu":
+        # The fused kernel hardcodes 5x5 (radius-2) NMS; a config with a
+        # different nms_radius must not silently get different suppression
+        # on the TPU path than on XLA/CPU (advisor, round 4) — fall back.
+        if use_pallas and nms_radius == 2 and jax.default_backend() == "tpu":
             # Fused VMEM response+NMS kernel, ALL detector families
             # (round 4): the XLA conv chains cost 5-7 ms/frame on this
             # runtime regardless of family.

@@ -48,7 +48,7 @@ def _kernel(taus, img_hbm, k_ref, out_ref, scratch, sem):
     cp.start()
     cp.wait()
     L = scratch[:]
-    k = k_ref[0]
+    k = k_ref[b]
     k2 = k * k
 
     for tau in taus:
@@ -66,23 +66,24 @@ def _kernel(taus, img_hbm, k_ref, out_ref, scratch, sem):
 
 
 @partial(jax.jit, static_argnames=("taus", "interpret"))
-def fed_evolve_pallas(L, k, taus: tuple, interpret: bool = False):
-    """Evolve (H, W) image L through the FED cycle `taus` (static tuple of
-    floats) with contrast parameter k (traced scalar). Equivalent to
-    frontend.nonlinear.evolve for interior pixels."""
-    H, W = L.shape
+def _fed_evolve_batched(Ls, ks, taus: tuple, interpret: bool = False):
+    """(B, H, W) images, (B,) contrast params -> (B, H, W). The batch folds
+    into the kernel grid's leading dimension (one program per image per row
+    block), so jax.vmap of callers reroutes here instead of dying inside
+    pallas_call (ANY-space input needs a trivial index_map)."""
+    B, H, W = Ls.shape
     halo = 4 * len(taus)
     ph = (-H) % _BH
     pw = (-(W + 2 * halo)) % 128
     Hb = H + ph
     Wp = W + 2 * halo + pw
-    Lp = jnp.pad(L.astype(jnp.float32),
-                 ((halo, halo + ph), (halo, halo + pw)), mode="edge")
+    Lp = jnp.pad(Ls.astype(jnp.float32),
+                 ((0, 0), (halo, halo + ph), (halo, halo + pw)), mode="edge")
     grid = Hb // _BH
     out = pl.pallas_call(
         partial(_kernel, tuple(float(t) for t in taus)),
-        grid=(1, grid),
-        out_shape=jax.ShapeDtypeStruct((1, Hb, Wp), jnp.float32),
+        grid=(B, grid),
+        out_shape=jax.ShapeDtypeStruct((B, Hb, Wp), jnp.float32),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -94,9 +95,59 @@ def fed_evolve_pallas(L, k, taus: tuple, interpret: bool = False):
             pltpu.SemaphoreType.DMA,
         ],
         cost_estimate=pl.CostEstimate(
-            flops=H * W * 60 * len(taus), bytes_accessed=H * W * 8,
+            flops=B * H * W * 60 * len(taus), bytes_accessed=B * H * W * 8,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(Lp[None], jnp.reshape(jnp.asarray(k, jnp.float32), (1,)))
-    return out[0, :H, halo:halo + W]
+    )(Lp, ks.astype(jnp.float32))
+    return out[:, :H, halo:halo + W]
+
+
+def fed_evolve_pallas(L, k, taus: tuple, interpret: bool = False):
+    """Evolve image(s) L (..., H, W) through the FED cycle `taus` (static
+    tuple of floats) with contrast parameter(s) k (traced scalar, one per
+    leading-batch element). Equivalent to frontend.nonlinear.evolve for
+    interior pixels. Arbitrary leading dims fold into the kernel grid; the
+    custom_vmap rule below makes jax.vmap of callers (batch/multi-sequence
+    runners with scale_space="nonlinear") trace through (advisor, round 4 —
+    same treatment as harris_nms_auto)."""
+    if interpret:  # test path: no vmap involved
+        lead = L.shape[:-2]
+        out = _fed_evolve_batched(
+            L.reshape((-1,) + L.shape[-2:]),
+            jnp.reshape(jnp.asarray(k, jnp.float32), (-1,)),
+            taus, interpret=True)
+        return out.reshape(L.shape)
+    return _fed_auto(tuple(float(t) for t in taus))(L, jnp.asarray(k))
+
+
+_FED_AUTO_CACHE = {}
+
+
+def _fed_auto(taus: tuple):
+    if taus in _FED_AUTO_CACHE:
+        return _FED_AUTO_CACHE[taus]
+
+    @jax.custom_batching.custom_vmap
+    def auto(L, k):
+        lead = L.shape[:-2]
+        out = _fed_evolve_batched(
+            L.reshape((-1,) + L.shape[-2:]),
+            jnp.reshape(k.astype(jnp.float32), (-1,)), taus)
+        return out.reshape(L.shape)
+
+    @auto.def_vmap
+    def _rule(axis_size, in_batched, L, k):
+        L_b, k_b = in_batched
+        if not L_b:
+            L = jnp.broadcast_to(L, (axis_size,) + L.shape)
+        if not k_b:
+            k = jnp.broadcast_to(jnp.reshape(k, (1,) * k.ndim),
+                                 (axis_size,) + k.shape)
+        out = _fed_evolve_batched(
+            L.reshape((-1,) + L.shape[-2:]),
+            jnp.reshape(k.astype(jnp.float32), (-1,)), taus)
+        return out.reshape(L.shape), True
+
+    _FED_AUTO_CACHE[taus] = auto
+    return auto

@@ -34,7 +34,7 @@ _ADDED_FIELD_DEFAULTS = {
     "shadow_win_p": lambda K, W: np.zeros((W, 3), np.float32),
     "shadow_p_wc": lambda K, W: np.zeros((3,), np.float32),
     "shadow_kf_p_wc": lambda K, W: np.zeros((3,), np.float32),
-    "shadow_scale": lambda K, W: np.asarray(0.05, np.float32),
+    "shadow_scale": lambda K, W: np.asarray(0.0, np.float32),
 }
 
 
