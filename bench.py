@@ -195,7 +195,7 @@ def bench_interleaved(candidates: dict, reps: int = 3, warmups: int = 1):
 
 def bench_host_loop(seq, n_steps: int = 48, reps: int = 2) -> float:
     """ONLINE host-loop throughput (round 4): one engine dispatch per frame
-    with native-uint8 image upload, packed 33-float results fetched in
+    with native-uint8 image upload, packed 37-float results fetched in
     4-frame one-RPC bursts (the CLI's pipelined loop). This is the mode a
     live camera feeds — the VERDICT r03 criterion is >= 20 fps (the EUROC
     camera rate, /root/reference/calibration/calibrationEUROC.xml:44);

@@ -48,7 +48,7 @@ def run(seq, cold: bool, bootstrap: bool, vi_ba: bool = False):
         p_w0=seq["gt_pos"][0],
     )
     n = len(seq["images"])
-    poses = []
+    poses, shadows, applies = [], [], []
     for j in range(1, n):
         lo, hi = (j - 1) * 10, j * 10
         imu = np.zeros((16, 6), np.float32)
@@ -61,8 +61,20 @@ def run(seq, cold: bool, bootstrap: bool, vi_ba: bool = False):
             state = refine_window(state, eng.cfg, calib.fx, calib.fy,
                                   calib.cx, calib.cy)
         poses.append(np.asarray(state.p_wc))
+        shadows.append(np.asarray(state.shadow_p_wc))
+        applies.append(int(state.bootstrap_applies))
     poses = np.array(poses)
-    return float(ate_rmse(poses, seq["gt_pos"][1:n], align=False))
+    gt = seq["gt_pos"][1:n]
+    ate = float(ate_rmse(poses, gt, align=False))
+    # Retroactive bootstrap smoothing (eval/smooth.py): rewrite the
+    # pre-alignment prefix from the shadow once scale is known. No-op on
+    # runs that never re-anchored (warm).
+    from vislam_tpu.eval.smooth import smooth_bootstrap_prefix
+    sm = smooth_bootstrap_prefix(
+        poses, np.array(shadows), np.array(applies),
+        np.asarray(state.origin_p_wc), np.asarray(state.shadow_origin_p))
+    ate_sm = float(ate_rmse(sm, gt, align=False))
+    return ate, ate_sm
 
 
 def main():
@@ -86,17 +98,20 @@ def main():
             trans_amp=(2.0, 1.4, 0.7), rot_amp=(0.12, 0.15, 0.3))),
     }
     print(f"{'scenario':10s} {'warm off':>9} {'warm on':>8} "
-          f"{'cold off':>9} {'cold on':>8} "
-          f"{'warm VI-BA':>11} {'cold VI-BA':>11}")
+          f"{'cold off':>9} {'cold on':>8} {'(smooth)':>9} "
+          f"{'warm VI-BA':>11} {'cold VI-BA':>11} {'(smooth)':>9}")
     for name, seq in scens.items():
-        w_off = run(seq, cold=False, bootstrap=False)
-        w_on = run(seq, cold=False, bootstrap=True)
-        c_off = run(seq, cold=True, bootstrap=False)
-        c_on = run(seq, cold=True, bootstrap=True)
-        w_ba = run(seq, cold=False, bootstrap=True, vi_ba=True)
-        c_ba = run(seq, cold=True, bootstrap=True, vi_ba=True)
+        w_off, _ = run(seq, cold=False, bootstrap=False)
+        w_on, w_on_s = run(seq, cold=False, bootstrap=True)
+        c_off, _ = run(seq, cold=True, bootstrap=False)
+        c_on, c_on_s = run(seq, cold=True, bootstrap=True)
+        w_ba, w_ba_s = run(seq, cold=False, bootstrap=True, vi_ba=True)
+        c_ba, c_ba_s = run(seq, cold=True, bootstrap=True, vi_ba=True)
+        assert abs(w_on - w_on_s) < 1e-9 and abs(w_ba - w_ba_s) < 1e-9, \
+            "smoothing must be a no-op on warm runs"
         print(f"{name:10s} {w_off:>9.3f} {w_on:>8.3f} "
-              f"{c_off:>9.3f} {c_on:>8.3f} {w_ba:>11.3f} {c_ba:>11.3f}")
+              f"{c_off:>9.3f} {c_on:>8.3f} {c_on_s:>9.3f} "
+              f"{w_ba:>11.3f} {c_ba:>11.3f} {c_ba_s:>9.3f}")
 
 
 if __name__ == "__main__":

@@ -80,8 +80,7 @@ def main():
                 base.frontend, guided_fallback_px=0.0)),
         "- bias recalib (gyro+accel EMA)": dataclasses.replace(
             base, engine=dataclasses.replace(
-                base.engine, recalib_gyro=False,
-                recalib_accel_alpha=0.0)),
+                base.engine, gyro_recalib=False, accel_recalib=False)),
     }
     res = {}
     for name, cfg in variants.items():

@@ -1,0 +1,87 @@
+"""Two-phase GT-free initialization under VI-BA (round 5, VERDICT #1/#8).
+
+Round 4 shipped the shadow-chain supervision for open loop only; under the
+default VI-BA mode the bootstrap was statically skipped and COLD starts
+(v0 = 0) were the system's worst path (ATE 1.07-1.86 m). The round-5
+composition makes the windowed VI-BA inert until the linear VI alignment
+latches (phase 1 == the measured supervised open loop), then hands off.
+Measured (scripts/eval_cold_start.py, 60-frame oracles): cold VI-BA
+1.07-1.86 -> 0.42-0.77 on all four scenarios; warm VI-BA improved
+(0.37/0.41/0.28/0.24 -> 0.24/0.18/0.26/0.20).
+"""
+
+import dataclasses
+
+import numpy as np
+
+from vislam_tpu.data import SyntheticConfig, make_synthetic_sequence
+from vislam_tpu.engine import VIOEngine
+from vislam_tpu.engine.refine import refine_window
+from vislam_tpu.eval import ate_rmse
+from vislam_tpu.utils.config import SystemConfig
+
+
+def _run(seq, cold: bool, vi_ba: bool = True, n=None):
+    calib = seq["calib"]
+    cfg = SystemConfig()
+    cfg = dataclasses.replace(
+        cfg, backend=dataclasses.replace(cfg.backend, vi_factors=vi_ba))
+    eng = VIOEngine(calib, cfg)
+    state = eng.initialize(
+        seq["images"][0], q_wb0=seq["gt_quat"][0],
+        v_w0=(np.zeros(3) if cold else seq["gt_vel"][0]),
+        p_w0=seq["gt_pos"][0])
+    n = n or len(seq["images"])
+    poses = []
+    for j in range(1, n):
+        lo, hi = (j - 1) * 10, j * 10
+        imu = np.zeros((16, 6), np.float32)
+        imu[:10] = np.concatenate(
+            [seq["imu_gyro"][lo:hi], seq["imu_accel"][lo:hi]], -1)
+        dt = np.zeros(16, np.float32)
+        dt[:10] = 1 / 200.0
+        state, res = eng.step(state, seq["images"][j], imu, dt, -1.0)
+        if vi_ba and bool(res.is_keyframe):
+            state = refine_window(state, eng.cfg, calib.fx, calib.fy,
+                                  calib.cx, calib.cy)
+        poses.append(np.asarray(state.p_wc))
+    return (ate_rmse(np.array(poses), seq["gt_pos"][1:n], align=False),
+            state)
+
+
+def test_gt_scale_latches_vi_aligned_immediately():
+    """GT-scale steps are metric by construction, so vi_aligned latches at
+    the first step — this is what keeps the two-phase VI-BA gating
+    (engine/refine.py) a no-op for GT-scale runs."""
+    seq = make_synthetic_sequence(
+        SyntheticConfig(n_frames=4, n_landmarks=200, seed=0))
+    eng = VIOEngine(seq["calib"])
+    state = eng.initialize(seq["images"][0], q_wb0=seq["gt_quat"][0],
+                           v_w0=seq["gt_vel"][0], p_w0=seq["gt_pos"][0])
+    assert not bool(state.vi_aligned)
+    imu = np.zeros((16, 6), np.float32)
+    dt = np.zeros(16, np.float32)
+    state, _ = eng.step(state, seq["images"][1], imu, dt, 0.05)
+    assert bool(state.vi_aligned)
+
+
+def test_cold_start_vi_ba_recovers():
+    """COLD start (v0 = 0) under the default GT-free VI-BA mode must
+    recover to well under half the unbootstrapped error (measured: 0.74 vs
+    2.05 open-loop-off; the r04 composition gap left this at 1.03+), and
+    the alignment must have latched so the full VI-BA actually engaged."""
+    seq = make_synthetic_sequence(
+        SyntheticConfig(n_frames=60, n_landmarks=300, seed=0))
+    ate_cold, state = _run(seq, cold=True)
+    assert bool(state.vi_aligned), "alignment never latched on a cold start"
+    assert ate_cold < 1.1, f"cold VI-BA ATE {ate_cold}"
+
+
+def test_warm_vi_ba_not_regressed_by_two_phase():
+    """Warm VI-BA accuracy must not be hurt by the two-phase hand-off
+    (measured 0.24 on this scenario; r04 single-phase was 0.37)."""
+    seq = make_synthetic_sequence(
+        SyntheticConfig(n_frames=60, n_landmarks=300, seed=0))
+    ate_warm, state = _run(seq, cold=False)
+    assert bool(state.vi_aligned)
+    assert ate_warm < 0.5, f"warm VI-BA ATE {ate_warm}"

@@ -199,6 +199,11 @@ def main(argv=None):
     est_positions = []
     gt_positions = []
     kf_archive = []
+    # Round 5: shadow track + bootstrap apply counter per frame, for the
+    # retroactive bootstrap smoothing of GT-free cold starts
+    # (eval/smooth.py). Both ride the packed result — no extra fetches.
+    shadow_track = []
+    apply_track = []
 
     def save_ckpt(state, frame_index, last_kf, last_kf_pos=None):
         if not args.checkpoint:
@@ -396,6 +401,9 @@ def main(argv=None):
                     rpy=np.asarray(lie.quat_to_rpy(jnp.asarray(q_np))))
             est_positions.append(np.asarray(res.p_wc))
             gt_positions.append(seq["gt_pos"][j])
+            if hasattr(res, "shadow_p_wc"):
+                shadow_track.append(np.asarray(res.shadow_p_wc))
+                apply_track.append(int(res.bootstrap_applies))
             if live is not None:
                 live.update(j, res.p_wc, seq["gt_pos"][j],
                             bool(res.is_keyframe))
@@ -642,6 +650,9 @@ def main(argv=None):
                     p_wc=np.asarray(state.p_wc), q_wb=q_np, is_keyframe=True,
                     rpy=np.asarray(lie.quat_to_rpy(jnp.asarray(q_np))))
             est_positions.append(np.asarray(res.p_wc))
+            if hasattr(res, "shadow_p_wc"):
+                shadow_track.append(np.asarray(res.shadow_p_wc))
+                apply_track.append(int(res.bootstrap_applies))
             if fw.gt_pos is not None:
                 gt_positions.append(fw.gt_pos)
             if live is not None:
@@ -758,11 +769,24 @@ def main(argv=None):
     n = len(rows)
     print(f"processed {n} frames in {wall:.2f}s ({n / max(wall, 1e-9):.1f} fps)")
     print(timer.report())
+    smoothed = None
+    if (not args.gt_scale and len(shadow_track) == len(est_positions)
+            and apply_track and apply_track[-1] > 0):
+        from vislam_tpu.eval import smooth_bootstrap_prefix
+        smoothed = smooth_bootstrap_prefix(
+            np.array(est_positions), np.array(shadow_track),
+            np.array(apply_track), np.asarray(state.origin_p_wc),
+            np.asarray(state.shadow_origin_p))
+        print(f"bootstrap smoothing: re-anchored prefix rewritten "
+              f"({apply_track[-1]} applies)")
     if gt_positions and len(gt_positions) == len(est_positions):
         est = np.array(est_positions)
         gt = np.array(gt_positions)
         print(f"ATE RMSE (unaligned): {ate_rmse(est, gt, align=False):.4f} m")
         print(f"ATE RMSE (SE3-aligned): {ate_rmse(est, gt):.4f} m")
+        if smoothed is not None:
+            print(f"ATE RMSE (bootstrap-smoothed, unaligned): "
+                  f"{ate_rmse(smoothed, gt, align=False):.4f} m")
     print(f"trajectory written to {args.output}")
     if args.plot:
         from vislam_tpu.eval import read_trajectory_csv

@@ -205,11 +205,19 @@ def vi_align_window(state: EngineState, R_bc, gravity: float,
             t=trustworthy, h=healthy, a=apply_full, av=apply_vel)
 
     # Re-anchor: replace the window/engine positions with the SCALED SHADOW
-    # geometry, anchored at the real slot-0 keyframe, and install the
-    # aligned velocities. (The shadow shape is the consistently-scaled
-    # trajectory; s maps it to metric.)
-    p0 = p[0]
-    p_sh0 = p_sh[0]
+    # geometry, and install the aligned velocities. (The shadow shape is
+    # the consistently-scaled trajectory; s maps it to metric.)
+    # Round 5 (VERDICT #8): anchored at the trajectory ORIGIN, not the real
+    # window slot 0. The shadow track is continuous from initialization, so
+    # origin + s * (shadow - shadow_origin) reconstructs the METRIC
+    # position of every frame including the corrupt pre-alignment segment —
+    # slot-0 anchoring preserved that segment's accumulated drift as a
+    # permanent offset (the round-4 tail analysis: cold runs froze a
+    # 1.0-1.4 m position error the alignment could never remove). Applies
+    # only fire pre-latch (early), so origin->window chain-scale drift is
+    # bounded.
+    p0 = state.origin_p_wc
+    p_sh0 = state.shadow_origin_p
     p_new = p0 + s * (p_sh - p_sh0)
     t_cw_new = -jnp.einsum("wij,wj->wi", win.R_cw, p_new)
     # Velocities: write back only where at least one adjacent interval
@@ -252,4 +260,6 @@ def vi_align_window(state: EngineState, R_bc, gravity: float,
         # healthy state is impossible: apply requires r_cur above the
         # floor AND a decisive model-comparison win every time.
         vi_aligned=state.vi_aligned | healthy,
+        bootstrap_applies=state.bootstrap_applies
+        + jnp.where(apply_full, 1, 0).astype(jnp.int32),
     )

@@ -68,7 +68,7 @@ class HostFrameResult(NamedTuple):
     ~8 fetches x ~25 ms tunnel RTT per frame plus an extra quat->rpy
     round-trip, ~250 ms/frame of pure transfer (the VERDICT r03
     fps_host_loop=3.5 root cause). step_host() packs everything into one
-    (33,) device vector, fetches once, and unpacks to numpy here."""
+    (37,) device vector, fetches once, and unpacks to numpy here."""
 
     p_wc: np.ndarray
     R_wc: np.ndarray
@@ -82,10 +82,12 @@ class HostFrameResult(NamedTuple):
     t_dir_cam: np.ndarray
     used_fallback: bool
     t_pred_cam: np.ndarray
+    shadow_p_wc: np.ndarray
+    bootstrap_applies: int
 
 
 def unpack_host_result(f: np.ndarray) -> HostFrameResult:
-    """Decode the packed (33,) result vector (see step_host_async)."""
+    """Decode the packed (37,) result vector (see step_host_async)."""
     return HostFrameResult(
         p_wc=f[0:3], R_wc=f[3:12].reshape(3, 3), q_wb=f[12:16],
         v_w=f[16:19], rpy=f[19:22],
@@ -93,6 +95,7 @@ def unpack_host_result(f: np.ndarray) -> HostFrameResult:
         num_matches=int(f[23]), num_inliers=int(f[24]),
         disparity=float(f[25]), used_fallback=bool(f[26] > 0.5),
         t_dir_cam=f[27:30], t_pred_cam=f[30:33],
+        shadow_p_wc=f[33:36], bootstrap_applies=int(f[36]),
     )
 
 
@@ -787,6 +790,9 @@ class VIOEngine:
                 shadow_scale=jnp.where(
                     solved, jnp.clip(s_shadow, 1e-4, 1e4),
                     state.shadow_scale),
+                origin_p_wc=state.origin_p_wc,
+                shadow_origin_p=state.shadow_origin_p,
+                bootstrap_applies=state.bootstrap_applies,
             )
             if en.vi_align_bootstrap and not en.vision_rotation:
                 # GT-free bootstrap/supervision: once enough preintegrated
@@ -914,7 +920,7 @@ class VIOEngine:
                         gt_t_norm: float = -1.0):
         """Dispatch one frame WITHOUT fetching: (new_state, packed_device).
 
-        packed_device is the (33,) result vector still on device; decode it
+        packed_device is the (37,) result vector still on device; decode it
         later (possibly from a fetch thread) with `unpack_host_result
         (np.asarray(packed_device))`. This is what lets the CLI host loop
         PIPELINE: dispatch frame j+1 while frame j's single result fetch
@@ -939,6 +945,11 @@ class VIOEngine:
                         r.used_fallback.astype(jnp.float32),
                     ]),
                     r.t_dir_cam, r.t_pred_cam,
+                    # Round 5: shadow position + bootstrap apply count ride
+                    # along so the host can retro-smooth the bootstrap
+                    # prefix (eval/smooth.py) without extra fetches.
+                    s.shadow_p_wc,
+                    s.bootstrap_applies.astype(jnp.float32)[None],
                 ])
                 return s, flat
 
@@ -958,7 +969,7 @@ class VIOEngine:
                   gt_t_norm: float = -1.0):
         """Process one frame for a HOST loop: (new_state, HostFrameResult).
 
-        The result crosses the device boundary as one packed (33,) vector —
+        The result crosses the device boundary as one packed (37,) vector —
         a single ~25 ms tunnel fetch instead of one per leaf; rpy is
         computed on-device so the host never round-trips a quaternion."""
         new_state, flat = self.step_host_async(state, image, imu, imu_dt,
@@ -1002,6 +1013,11 @@ class VIOEngine:
                         r.used_fallback.astype(jnp.float32),
                     ]),
                     r.t_dir_cam, r.t_pred_cam,
+                    # Round 5: shadow position + bootstrap apply count ride
+                    # along so the host can retro-smooth the bootstrap
+                    # prefix (eval/smooth.py) without extra fetches.
+                    s.shadow_p_wc,
+                    s.bootstrap_applies.astype(jnp.float32)[None],
                 ])
                 return s, new_kf_gt, flat
 

@@ -142,6 +142,20 @@ class EngineState(NamedTuple):
                                  # factor comes from the (possibly corrupt)
                                  # IMU prediction — per-step consistency
                                  # always comes from the depth chain.
+    # Trajectory ORIGIN anchors (round 5, VERDICT #8): the initial real and
+    # shadow positions (equal at init). The shadow track is continuous from
+    # the origin, so a bootstrap apply re-bases the trajectory as
+    # origin + s * (shadow - shadow_origin) — removing the PERMANENT
+    # position offset the corrupt pre-alignment segment otherwise bakes
+    # into unaligned ATE (round-4 tail analysis: the alignment fixed
+    # scale/velocity but had "no position reference to re-anchor against";
+    # the shadow origin IS that reference).
+    origin_p_wc: jnp.ndarray     # (3,)
+    shadow_origin_p: jnp.ndarray  # (3,)
+    # Count of full bootstrap re-anchors applied (positions rewritten).
+    # Consumed by the host-side retroactive bootstrap smoothing
+    # (eval/smooth.py, CLI): a run that never applied must not be smoothed.
+    bootstrap_applies: jnp.ndarray  # () int32
 
 
 def init_window(W: int, K: int, D: int) -> KeyframeWindow:
@@ -241,4 +255,7 @@ def init_state(
         shadow_p_wc=jnp.asarray(p_wc0, jnp.float32),
         shadow_kf_p_wc=jnp.asarray(p_wc0, jnp.float32),
         shadow_scale=jnp.zeros((), jnp.float32),
+        origin_p_wc=jnp.asarray(p_wc0, jnp.float32),
+        shadow_origin_p=jnp.asarray(p_wc0, jnp.float32),
+        bootstrap_applies=jnp.zeros((), jnp.int32),
     )

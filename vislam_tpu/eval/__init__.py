@@ -6,6 +6,7 @@ from vislam_tpu.eval.traj_io import (
     read_trajectory_tum,
 )
 from vislam_tpu.eval.runner import run_vio_sequence
+from vislam_tpu.eval.smooth import smooth_bootstrap_prefix
 
 __all__ = [
     "ate_rmse",
@@ -16,4 +17,5 @@ __all__ = [
     "write_trajectory_tum",
     "read_trajectory_tum",
     "run_vio_sequence",
+    "smooth_bootstrap_prefix",
 ]

@@ -35,6 +35,12 @@ _ADDED_FIELD_DEFAULTS = {
     "shadow_p_wc": lambda K, W: np.zeros((3,), np.float32),
     "shadow_kf_p_wc": lambda K, W: np.zeros((3,), np.float32),
     "shadow_scale": lambda K, W: np.asarray(0.0, np.float32),
+    # Round 5: origin anchors for the bootstrap's position re-base. A
+    # legacy checkpoint predates them; zeros match the synthetic/default
+    # start and a latched (warm) state never uses them again.
+    "origin_p_wc": lambda K, W: np.zeros((3,), np.float32),
+    "shadow_origin_p": lambda K, W: np.zeros((3,), np.float32),
+    "bootstrap_applies": lambda K, W: np.asarray(0, np.int32),
 }
 
 
