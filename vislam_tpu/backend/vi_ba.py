@@ -470,7 +470,16 @@ def vi_bundle_adjust(
         prev_cost = carry[4]
         prev_lam = carry[3]
         new_carry, new_cost = step(carry, None)
-        improved = (prev_cost - new_cost) > 1e-6 * (
+        # Improvement floor 1e-3 RELATIVE (round 5): the windowed problem
+        # has a SLOW coordinate-descent tail — measured trace: after ~4
+        # iterations every further iteration buys ~4e-4 relative cost,
+        # essentially forever (0.5% total over 18 more iterations), so
+        # floors at 1e-6/1e-4 never trip and solves ran the full budget
+        # (measured in-run mean 16.4 of cap 20). At 1e-3 the stall counter
+        # sees the tail as converged after ~4 more iterations; EVAL-config
+        # accuracy is unchanged (round-4 measurement: accuracy flat from
+        # 20 down to 10 iterations).
+        improved = (prev_cost - new_cost) > 1e-3 * (
             jnp.abs(new_cost) + 1e-12)
         rejected = new_carry[3] > prev_lam  # reject path: lam *= 4
         free_ramp = rejected & (prev_lam < 1.0) & (~accepted_any)

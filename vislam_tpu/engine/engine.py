@@ -134,6 +134,7 @@ class VIOEngine:
         return init_state(
             feat0, img, q0, v0, p0, R_wc0,
             window_size=self.cfg.backend.window_size,
+            desc_dtype=jnp.dtype(self.cfg.backend.window_desc_dtype),
         )
 
     # ------------------------------------------------------------------ step
@@ -592,81 +593,39 @@ class VIOEngine:
                 (disparity > en.kf_disparity_px) | (rot_cos < kf_rot_thresh)
             )
 
-            # ---------------- state update (where-gated, no control flow)
+            # ---------------- state update. The PROMOTION machinery —
+            # window roll + slot writes across ~25 fields, keyframe
+            # feature/image swap, depth-chain + shadow-window writes —
+            # executes behind ONE lax.cond on is_kf (round 5). The old
+            # where-gated formulation paid the full roll/copy chain on
+            # EVERY frame; the op census measured 1305 executed HLO ops
+            # per trip at ~1.45 us/op with nearly half of them
+            # copies/GTEs around this machinery, and the step is
+            # OP-COUNT-bound on this runtime (time flat in image size,
+            # f32 == bf16; BENCH_NOTES round 5). Under jax.vmap (batch
+            # runners) cond lowers to a both-branches select — identical
+            # cost to the old formulation there, no regression. The
+            # per-branch math is UNCHANGED (same ops, same order), so
+            # results are bit-identical to the where() version.
             sel = lambda a, b: jnp.where(is_kf, a, b)
-            new_kf_feat = jax.tree.map(sel, feat, state.kf_feat)
-            new_kf_image = jnp.where(is_kf, image, state.kf_image)
             win = state.window
-            # Roll the window left when full, write at slot `min(count, W-1)`.
             Wn = win.uv.shape[0]
             full = win.count >= Wn
-
-            def roll_if_full(x):
-                return jnp.where(full, jnp.roll(x, -1, axis=0), x)
-
-            rolled = win._replace(
-                uv=roll_if_full(win.uv),
-                desc=roll_if_full(win.desc),
-                kp_mask=roll_if_full(win.kp_mask),
-                R_cw=roll_if_full(win.R_cw),
-                t_cw=roll_if_full(win.t_cw),
-                valid=roll_if_full(win.valid),
-                v_w=roll_if_full(win.v_w),
-                imu_dR=roll_if_full(win.imu_dR),
-                imu_dv=roll_if_full(win.imu_dv),
-                imu_dp=roll_if_full(win.imu_dp),
-                imu_dt=roll_if_full(win.imu_dt),
-                imu_J_R_bg=roll_if_full(win.imu_J_R_bg),
-                imu_J_v_bg=roll_if_full(win.imu_J_v_bg),
-                imu_J_v_ba=roll_if_full(win.imu_J_v_ba),
-                imu_J_p_bg=roll_if_full(win.imu_J_p_bg),
-                imu_J_p_ba=roll_if_full(win.imu_J_p_ba),
-                imu_bg_ref=roll_if_full(win.imu_bg_ref),
-                imu_ba_ref=roll_if_full(win.imu_ba_ref),
-                # Slot 0's stored factor points at the keyframe just
-                # evicted — it is meaningless after a roll.
-                imu_valid=roll_if_full(win.imu_valid).at[0].set(
-                    jnp.where(full, False, win.imu_valid[0])
-                ),
-            )
             slot = jnp.minimum(win.count, Wn - 1)
             R_cw_new = R_wc_j.T
             t_cw_new = -R_wc_j.T @ p_wc_j
-            # The promoted keyframe's IMU factor = preintegration accumulated
-            # since the previous keyframe (valid only if the interval really
-            # integrated IMU data — vision-only datasets keep dt at 0).
+            # The promoted keyframe's IMU factor = preintegration
+            # accumulated since the previous keyframe (valid only if the
+            # interval really integrated IMU data — vision-only datasets
+            # keep dt at 0).
             t_since_kf_now = state.kf_time + T
-            updated = rolled._replace(
-                uv=rolled.uv.at[slot].set(feat.uv),
-                desc=rolled.desc.at[slot].set(feat.desc),
-                kp_mask=rolled.kp_mask.at[slot].set(feat.mask),
-                R_cw=rolled.R_cw.at[slot].set(R_cw_new),
-                t_cw=rolled.t_cw.at[slot].set(t_cw_new),
-                valid=rolled.valid.at[slot].set(True),
-                count=jnp.minimum(win.count + 1, Wn),
-                imu_dR=rolled.imu_dR.at[slot].set(pre_dR_acc),
-                imu_dv=rolled.imu_dv.at[slot].set(pre_dv_acc),
-                imu_dp=rolled.imu_dp.at[slot].set(pre_dp_acc),
-                imu_dt=rolled.imu_dt.at[slot].set(t_since_kf_now),
-                imu_valid=rolled.imu_valid.at[slot].set(
-                    (pre.dt > 1e-6) & (slot > 0)
-                ),
-                imu_J_R_bg=rolled.imu_J_R_bg.at[slot].set(pre_acc.J_dR_bg),
-                imu_J_v_bg=rolled.imu_J_v_bg.at[slot].set(pre_acc.J_dv_bg),
-                imu_J_v_ba=rolled.imu_J_v_ba.at[slot].set(pre_acc.J_dv_ba),
-                imu_J_p_bg=rolled.imu_J_p_bg.at[slot].set(pre_acc.J_dp_bg),
-                imu_J_p_ba=rolled.imu_J_p_ba.at[slot].set(pre_acc.J_dp_ba),
-                imu_bg_ref=rolled.imu_bg_ref.at[slot].set(bias_g_new),
-                imu_ba_ref=rolled.imu_ba_ref.at[slot].set(bias_a_new),
-            )
-            new_window = jax.tree.map(sel, updated, win)
+            t_since_kf = t_since_kf_now
 
-            # Velocity: from world displacement over the window (solved), else
-            # IMU propagation.
-            # Vision velocity: displacement since the last keyframe over the
-            # TIME since that keyframe (state.kf_time accumulates it; using
-            # the single-frame dt here was a measured 2-3x overestimate).
-            t_since_kf = state.kf_time + T
+            # Velocity: from world displacement over the window (solved),
+            # else IMU propagation. Vision velocity: displacement since the
+            # last keyframe over the TIME since that keyframe (state.kf_time
+            # accumulates it; using the single-frame dt here was a measured
+            # 2-3x overestimate).
             v_vis = (p_wc_j - state.kf_p_wc) / jnp.maximum(t_since_kf, 1e-3)
             v_imu = state.v_w + g_w * T + (R_wb_prev @ pre.dv)
             # IMU-scale mode (gt_t_norm < 0): the monocular scale comes from
@@ -691,45 +650,114 @@ class VIOEngine:
                     lie.mat_to_quat(lie.orthonormalize(R_wc_j @ R_bc.T)),
                     q_wb,
                 )
-            # Keyframe velocity lands in the window only on promotion.
-            new_window = new_window._replace(
-                v_w=jnp.where(
-                    is_kf, new_window.v_w.at[slot].set(v_new), new_window.v_w
-                )
-            )
-            # SHADOW trajectory + depth handoff for the vision scale chain.
-            new_kf_depths = state.kf_depths
-            new_kf_depth_valid = state.kf_depth_valid
+
+            # SHADOW position advances every frame (chain-scaled when the
+            # solve succeeded); the window/depth writes happen only on
+            # promotion, inside the cond below.
             shadow_p_j = state.shadow_kf_p_wc + dp_since_kf
-            new_shadow_win = state.shadow_win_p
             if chain_static:
-                # Shadow position: same rotations, chain-scaled translation.
                 t_cw_i_sh = -R_cw_i @ state.shadow_kf_p_wc
                 t_cw_j_sh = R_ji @ t_cw_i_sh + t_dir * s_shadow
                 shadow_p_j = jnp.where(
                     solved, -R_cw_j.T @ t_cw_j_sh,
                     state.shadow_kf_p_wc + dp_since_kf)
-                # Promoted keyframe: each matched landmark's depth in the
-                # NEW keyframe camera = unit-baseline depth x the SHADOW
-                # step scale, written at the new keypoint's row via a
-                # one-hot reduction (no scatter).
-                K_kp = state.kf_feat.uv.shape[0]
-                tgt = m.idx_b
-                oh = (tgt[:, None] == jnp.arange(K_kp)[None, :]) \
-                    & chain_pair_ok[:, None]
-                depth_new = jnp.max(
-                    jnp.where(oh, (d_j_u * s_shadow)[:, None], 0.0), axis=0)
-                valid_new = jnp.any(oh, axis=0) & (depth_new > 1e-6)
-                new_kf_depths = jnp.where(is_kf, depth_new,
-                                          state.kf_depths)
-                new_kf_depth_valid = jnp.where(is_kf, valid_new,
-                                               state.kf_depth_valid)
-                rolled_shadow = jnp.where(
-                    full, jnp.roll(state.shadow_win_p, -1, axis=0),
-                    state.shadow_win_p)
-                new_shadow_win = jnp.where(
-                    is_kf, rolled_shadow.at[slot].set(shadow_p_j),
-                    state.shadow_win_p)
+
+            def _promote(_):
+                def roll_if_full(x):
+                    return jnp.where(full, jnp.roll(x, -1, axis=0), x)
+
+                rolled = win._replace(
+                    uv=roll_if_full(win.uv),
+                    desc=roll_if_full(win.desc),
+                    kp_mask=roll_if_full(win.kp_mask),
+                    R_cw=roll_if_full(win.R_cw),
+                    t_cw=roll_if_full(win.t_cw),
+                    valid=roll_if_full(win.valid),
+                    v_w=roll_if_full(win.v_w),
+                    imu_dR=roll_if_full(win.imu_dR),
+                    imu_dv=roll_if_full(win.imu_dv),
+                    imu_dp=roll_if_full(win.imu_dp),
+                    imu_dt=roll_if_full(win.imu_dt),
+                    imu_J_R_bg=roll_if_full(win.imu_J_R_bg),
+                    imu_J_v_bg=roll_if_full(win.imu_J_v_bg),
+                    imu_J_v_ba=roll_if_full(win.imu_J_v_ba),
+                    imu_J_p_bg=roll_if_full(win.imu_J_p_bg),
+                    imu_J_p_ba=roll_if_full(win.imu_J_p_ba),
+                    imu_bg_ref=roll_if_full(win.imu_bg_ref),
+                    imu_ba_ref=roll_if_full(win.imu_ba_ref),
+                    # Slot 0's stored factor points at the keyframe just
+                    # evicted — it is meaningless after a roll.
+                    imu_valid=roll_if_full(win.imu_valid).at[0].set(
+                        jnp.where(full, False, win.imu_valid[0])
+                    ),
+                )
+                updated = rolled._replace(
+                    uv=rolled.uv.at[slot].set(feat.uv),
+                    desc=rolled.desc.at[slot].set(
+                        feat.desc.astype(rolled.desc.dtype)),
+                    kp_mask=rolled.kp_mask.at[slot].set(feat.mask),
+                    R_cw=rolled.R_cw.at[slot].set(R_cw_new),
+                    t_cw=rolled.t_cw.at[slot].set(t_cw_new),
+                    valid=rolled.valid.at[slot].set(True),
+                    count=jnp.minimum(win.count + 1, Wn),
+                    # Keyframe velocity lands in the window on promotion.
+                    v_w=rolled.v_w.at[slot].set(v_new),
+                    imu_dR=rolled.imu_dR.at[slot].set(pre_dR_acc),
+                    imu_dv=rolled.imu_dv.at[slot].set(pre_dv_acc),
+                    imu_dp=rolled.imu_dp.at[slot].set(pre_dp_acc),
+                    imu_dt=rolled.imu_dt.at[slot].set(t_since_kf_now),
+                    imu_valid=rolled.imu_valid.at[slot].set(
+                        (pre.dt > 1e-6) & (slot > 0)
+                    ),
+                    imu_J_R_bg=rolled.imu_J_R_bg.at[slot].set(
+                        pre_acc.J_dR_bg),
+                    imu_J_v_bg=rolled.imu_J_v_bg.at[slot].set(
+                        pre_acc.J_dv_bg),
+                    imu_J_v_ba=rolled.imu_J_v_ba.at[slot].set(
+                        pre_acc.J_dv_ba),
+                    imu_J_p_bg=rolled.imu_J_p_bg.at[slot].set(
+                        pre_acc.J_dp_bg),
+                    imu_J_p_ba=rolled.imu_J_p_ba.at[slot].set(
+                        pre_acc.J_dp_ba),
+                    imu_bg_ref=rolled.imu_bg_ref.at[slot].set(bias_g_new),
+                    imu_ba_ref=rolled.imu_ba_ref.at[slot].set(bias_a_new),
+                )
+                if chain_static:
+                    # Promoted keyframe: each matched landmark's depth in
+                    # the NEW keyframe camera = unit-baseline depth x the
+                    # SHADOW step scale, written at the new keypoint's row
+                    # via a one-hot reduction (no scatter).
+                    K_kp = state.kf_feat.uv.shape[0]
+                    tgt = m.idx_b
+                    oh = (tgt[:, None] == jnp.arange(K_kp)[None, :]) \
+                        & chain_pair_ok[:, None]
+                    depth_new = jnp.max(
+                        jnp.where(oh, (d_j_u * s_shadow)[:, None], 0.0),
+                        axis=0)
+                    valid_new = jnp.any(oh, axis=0) & (depth_new > 1e-6)
+                    rolled_shadow = jnp.where(
+                        full, jnp.roll(state.shadow_win_p, -1, axis=0),
+                        state.shadow_win_p)
+                    shadow_win2 = rolled_shadow.at[slot].set(shadow_p_j)
+                else:
+                    depth_new = state.kf_depths
+                    valid_new = state.kf_depth_valid
+                    shadow_win2 = state.shadow_win_p
+                return (updated, feat, depth_new, valid_new, shadow_win2)
+
+            def _keep(_):
+                return (win, state.kf_feat, state.kf_depths,
+                        state.kf_depth_valid, state.shadow_win_p)
+
+            (new_window, new_kf_feat, new_kf_depths, new_kf_depth_valid,
+             new_shadow_win) = jax.lax.cond(is_kf, _promote, _keep, None)
+            # kf_image feeds ONLY the photometric refine; when that is off
+            # (default) the carry value is never consumed, so skipping the
+            # write lets XLA alias the 1.4 MB buffer through the scan.
+            if en.photometric_refine:
+                new_kf_image = jnp.where(is_kf, image, state.kf_image)
+            else:
+                new_kf_image = state.kf_image
             zero33 = jnp.zeros((3, 3), jnp.float32)
             new_state = EngineState(
                 q_wb=q_wb,
@@ -898,6 +926,7 @@ class VIOEngine:
             feat, img, q_wb, v_w, p_wc, R_wc,
             bias_g=bias_g, bias_a=bias_a,
             window_size=self.cfg.backend.window_size,
+            desc_dtype=jnp.dtype(self.cfg.backend.window_desc_dtype),
         )
         return new._replace(frame_idx=state.frame_idx,
                             kf_count=state.kf_count + 1)

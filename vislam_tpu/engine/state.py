@@ -158,10 +158,11 @@ class EngineState(NamedTuple):
     bootstrap_applies: jnp.ndarray  # () int32
 
 
-def init_window(W: int, K: int, D: int) -> KeyframeWindow:
+def init_window(W: int, K: int, D: int,
+                desc_dtype=jnp.float32) -> KeyframeWindow:
     return KeyframeWindow(
         uv=jnp.zeros((W, K, 2), jnp.float32),
-        desc=jnp.zeros((W, K, D), jnp.float32),
+        desc=jnp.zeros((W, K, D), desc_dtype),
         kp_mask=jnp.zeros((W, K), bool),
         R_cw=jnp.tile(jnp.eye(3, dtype=jnp.float32), (W, 1, 1)),
         t_cw=jnp.zeros((W, 3), jnp.float32),
@@ -193,6 +194,7 @@ def init_state(
     bias_g=None,
     bias_a=None,
     window_size: int = 10,
+    desc_dtype=jnp.float32,
 ) -> EngineState:
     """State at frame 0; feat0 becomes the first keyframe.
 
@@ -201,12 +203,12 @@ def init_state(
     from the caller (GT row or origin).
     """
     K, D = feat0.desc.shape
-    win = init_window(window_size, K, D)
+    win = init_window(window_size, K, D, desc_dtype=desc_dtype)
     R_cw0 = R_wc0.T
     t_cw0 = -R_wc0.T @ p_wc0
     win = win._replace(
         uv=win.uv.at[0].set(feat0.uv),
-        desc=win.desc.at[0].set(feat0.desc),
+        desc=win.desc.at[0].set(feat0.desc.astype(win.desc.dtype)),
         kp_mask=win.kp_mask.at[0].set(feat0.mask),
         R_cw=win.R_cw.at[0].set(R_cw0),
         t_cw=win.t_cw.at[0].set(t_cw0),

@@ -95,9 +95,16 @@ def match_descriptors(
             safe_arg = jnp.clip(arg1, 0, K - 1)
             ok &= jnp.take(colarg, safe_arg) == jnp.arange(K)
     else:
-        # Squared L2 distances via MXU matmul.
-        sq_a = jnp.sum(desc_a * desc_a, axis=-1, keepdims=True)      # (K,1)
-        sq_b = jnp.sum(desc_b * desc_b, axis=-1, keepdims=True).T    # (1,K)
+        # Squared L2 distances via MXU matmul. Inputs may be bf16 (the
+        # round-5 window descriptor bank); the cross term runs on the MXU
+        # with f32 accumulation either way, and the squared norms reduce in
+        # f32 (a 128-term bf16 accumulation would cost ~1% of the O(1)
+        # norm — the converts fuse into the reductions, nothing f32-sized
+        # materializes).
+        a32 = desc_a.astype(jnp.float32)
+        b32 = desc_b.astype(jnp.float32)
+        sq_a = jnp.sum(a32 * a32, axis=-1, keepdims=True)            # (K,1)
+        sq_b = jnp.sum(b32 * b32, axis=-1, keepdims=True).T          # (1,K)
         cross = jnp.dot(desc_a, desc_b.T, preferred_element_type=jnp.float32)
         D = jnp.maximum(sq_a + sq_b - 2.0 * cross, 0.0)
 

@@ -52,14 +52,25 @@ def _leaf_paths(template):
 
 def save_checkpoint(path: str, state: EngineState, frame_index: int,
                     meta: dict | None = None) -> None:
+    import ml_dtypes
+
     flat, _ = jax.tree_util.tree_flatten_with_path(state)
     arrays = {}
     paths = []
+    bf16 = []
     for i, (kpath, leaf) in enumerate(flat):
-        arrays[f"leaf_{i}"] = np.asarray(leaf)
+        arr = np.asarray(leaf)
+        # npz cannot represent bfloat16 (round 5: the window descriptor
+        # bank); store as f32 (lossless widening) and record the leaf so
+        # load restores the dtype.
+        if arr.dtype == ml_dtypes.bfloat16:
+            bf16.append(i)
+            arr = arr.astype(np.float32)
+        arrays[f"leaf_{i}"] = arr
         paths.append(jax.tree_util.keystr(kpath))
     arrays["__frame_index"] = np.asarray(frame_index)
     arrays["__paths"] = np.asarray(paths)
+    arrays["__bf16_leaves"] = np.asarray(bf16, np.int64)
     # Uncompressed: the state is a few MB and per-keyframe saves sit on the
     # streaming path (compression measured 191 ms/save vs ~10 ms raw).
     np.savez(path, **arrays)
@@ -85,9 +96,14 @@ def load_checkpoint(path: str):
     match; (c) legacy positional padded with `_ADDED_FIELD_DEFAULTS` for
     trailing fields added since the save.
     """
+    import ml_dtypes
+
     data = np.load(path)
     n = sum(1 for k in data.files if k.startswith("leaf_"))
     stored = [data[f"leaf_{i}"] for i in range(n)]
+    if "__bf16_leaves" in data.files:
+        for i in data["__bf16_leaves"]:
+            stored[int(i)] = stored[int(i)].astype(ml_dtypes.bfloat16)
     frame_index = int(data["__frame_index"])
 
     template = _template_from_leaves(stored)

@@ -182,8 +182,23 @@ class BackendConfig:
     ransac_dispersion_pow: float = 1.25
     # Sliding-window BA
     window_size: int = 10          # keyframes (reference num_max_keyframes=10)
+    # Storage dtype of the window DESCRIPTOR bank (W, K, D). bfloat16 since
+    # round 5: the bank is the largest state tensor (2.6 MB f32) and the
+    # op census showed the scan carry paying multiple full-size
+    # layout-change copies of it per frame; its only consumer is the
+    # window track matcher's MXU distance matmul, where bf16 inputs with
+    # f32 accumulation perturb squared distances by ~0.01 on an O(1)
+    # scale — far below the 0.8 ratio-test margins (EVAL configs measured
+    # unchanged). float32 remains available for exact legacy behavior.
+    window_desc_dtype: str = "bfloat16"
     max_landmarks: int = 512
-    lm_iters: int = 20             # LM outer iterations (accept/reject damped)
+    # LM outer iteration cap (accept/reject damped). 12 since round 5:
+    # accuracy measured FLAT from 20 down to 10 on the EVAL configs
+    # (round 4), the early-exit stall typically fires at ~8-9, and the cap
+    # only binds on slow-tail windows whose remaining improvements are
+    # ~4e-4 relative per iteration (measured trace) — the in-step refine
+    # is ~124 us per iteration of pure device time (profile_refine.py).
+    lm_iters: int = 12
     lm_lambda0: float = 1e-3
     # Online-refinement feedback guards: BA redistributes window-internal
     # error, so anchor corrections are capped to keep the engine<->BA loop
