@@ -874,8 +874,12 @@ class VIOEngine:
                 # full SLAM (including BA) as one device program.
                 from vislam_tpu.engine.refine import refine_window
 
+                refine_now = is_kf
+                if be.refine_stride > 1:
+                    refine_now = is_kf & (
+                        new_state.kf_count % be.refine_stride == 0)
                 new_state = jax.lax.cond(
-                    is_kf,
+                    refine_now,
                     lambda s: refine_window(s, cfg, fx, fy, cx, cy, R_bc=R_bc),
                     lambda s: s,
                     new_state,

@@ -245,6 +245,14 @@ class BackendConfig:
     # (the host-loop CLI instead calls engine.refine.refine_window between
     # steps, same math).
     refine_in_step: bool = False
+    # Run the in-step window refine only on every refine_stride-th keyframe
+    # promotion (refine_in_step scan mode). MEASURED round 5 (GT-free
+    # scans): stride 2 saves ~half the refine's ~1.3 ms/frame but costs
+    # gentle-warm ATE 0.242 -> 0.314 (+30%; aggressive +7%, colds +3%) —
+    # the velocity feedback of EVERY promotion's solve is load-bearing on
+    # low-excitation runs. Stays 1 by default; the knob is the documented
+    # throughput/accuracy trade for throughput-critical deployments.
+    refine_stride: int = 1
     vi_w_rot: float = 1e4          # IMU factor precisions (1/dt-scaled)
     vi_w_vel: float = 1e2
     vi_w_pos: float = 1e2
