@@ -18,6 +18,14 @@ frontend rewrite removed; re-measured numbers below should show batch
 scaling near-flat per trip).
 
 Run on the real chip: python scripts/bench_roofline.py
+
+ROUND-5 CAVEAT: the "%HBM (ub)" column this prints uses the XLA
+cost-analysis BYTES UPPER BOUND (no fusion dedup). The MEASURED traffic
+story (scripts/bench_hbm_traffic.py, BENCH_NOTES round 5) supersedes it:
+the step's time is flat across a 16x image-size range and identical in
+f32 vs bf16, i.e. the step is NOT bandwidth-bound — image traffic is ~3%
+of the frame, and the r04 "65-91% of HBM roof" reading of this script's
+output is retired.
 """
 
 from __future__ import annotations

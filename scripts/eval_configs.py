@@ -110,7 +110,59 @@ PINNED = {
     "5": "seeds 0-7, 24 frames, 250 landmarks",
     "6": "seed 42, 500 frames, 400 landmarks (long run: GT-free VI-BA + "
          "reloc + checkpoint/resume + loop correction in one run)",
+    "2c": "seed 0, 60 frames, 300 landmarks, v0=0 COLD start, GT-free "
+          "VI-BA (two-phase init + retroactive bootstrap smoothing)",
 }
+
+
+def run_cold(seq):
+    """Config 2c (round 5): the cold-start path under the DEFAULT GT-free
+    mode — the round-4 system's worst path (1.07+ m), now two-phase
+    initialized (engine/refine.py) and retroactively smoothed
+    (eval/smooth.py). Reports live and smoothed ATE."""
+    import dataclasses
+
+    from vislam_tpu.engine import VIOEngine
+    from vislam_tpu.engine.refine import refine_window
+    from vislam_tpu.eval import ate_rmse, smooth_bootstrap_prefix
+    from vislam_tpu.utils.config import SystemConfig
+
+    calib = seq["calib"]
+    cfg = SystemConfig()
+    cfg = dataclasses.replace(
+        cfg, backend=dataclasses.replace(cfg.backend, vi_factors=True))
+    eng = VIOEngine(calib, cfg)
+    state = eng.initialize(
+        seq["images"][0], q_wb0=seq["gt_quat"][0],
+        v_w0=np.zeros(3), p_w0=seq["gt_pos"][0])
+    n = len(seq["images"])
+    poses, shadows, applies = [], [], []
+    for j in range(1, n):
+        lo, hi = (j - 1) * 10, j * 10
+        imu = np.zeros((16, 6), np.float32)
+        imu[:10] = np.concatenate(
+            [seq["imu_gyro"][lo:hi], seq["imu_accel"][lo:hi]], -1)
+        dt = np.zeros(16, np.float32)
+        dt[:10] = 1 / 200.0
+        state, res = eng.step(state, seq["images"][j], imu, dt, -1.0)
+        if bool(res.is_keyframe):
+            state = refine_window(state, eng.cfg, calib.fx, calib.fy,
+                                  calib.cx, calib.cy)
+        poses.append(np.asarray(state.p_wc))
+        shadows.append(np.asarray(state.shadow_p_wc))
+        applies.append(int(state.bootstrap_applies))
+    poses = np.array(poses)
+    gt = seq["gt_pos"][1:n]
+    sm = smooth_bootstrap_prefix(
+        poses, np.array(shadows), np.array(applies),
+        np.asarray(state.origin_p_wc), np.asarray(state.shadow_origin_p))
+    from vislam_tpu.eval import ate_rmse as _ate
+    return {
+        "ate_live": _ate(poses, gt, align=False),
+        "ate_smoothed": _ate(sm, gt, align=False),
+        "n_applies": int(applies[-1]) if applies else 0,
+        "aligned": bool(state.vi_aligned),
+    }
 
 
 def run_long(seq):
@@ -349,6 +401,11 @@ def main():
         "ate_max": float(np.max(ates)),
     }
 
+    # 2c. Cold start under the default GT-free mode (round 5).
+    seq2c = make_synthetic_sequence(SyntheticConfig(
+        n_frames=60, n_landmarks=300, seed=0))
+    results["2c_cold_start"] = run_cold(seq2c)
+
     # 6. Long run (round 5, VERDICT #6): 500 frames, GT-free VI-BA, reloc
     # machinery + checkpoint round-trip + loop correction in one run.
     seq6 = make_synthetic_sequence(SyntheticConfig(
@@ -428,6 +485,14 @@ def main():
             f"{r5['ate_max']:.3f} m | "
             f"{p('5_multi_sequence_batch', 'ate_mean')} / "
             f"{p('5_multi_sequence_batch', 'ate_max')} |\n")
+        rc = results["2c_cold_start"]
+        fh.write(
+            f"| 2c | COLD start (v0=0), GT-free VI-BA + retroactive "
+            f"bootstrap smoothing | ATE live {rc['ate_live']:.3f} / "
+            f"smoothed {rc['ate_smoothed']:.3f} m "
+            f"({rc['n_applies']} re-anchors, "
+            f"latched={'yes' if rc['aligned'] else 'NO'}) | "
+            f"{p('2c_cold_start', 'ate_smoothed')} |\n")
         r6 = results["6_long_run"]
         fh.write(
             f"| 6 | LONG run: 500 frames GT-free VI-BA, "
@@ -452,6 +517,15 @@ def main():
             "dispersion-weighted RANSAC (+0.008 gentle, measured sweep in\n"
             "  BENCH_NOTES) bought the occlusion regime 0.167 -> 0.102 — "
             "the one regime the OpenCV reference still won.\n"
+            "- **r04 -> r05 config 2 VI-BA (0.373 -> 0.418)**: the two-phase "
+            "GT-free initialization (VI-BA inert until the alignment latch, "
+            "~frame 13) — measured as the cause in isolation before the\n"
+            "  round's other changes. The trade bought cold VI-BA 1.07-1.86 "
+            "-> 0.42-0.77 (config 2c) and the 60-frame warm ensemble mean "
+            "0.33 -> 0.22;\n"
+            "  this 80-frame gentle run is the one case where the skipped "
+            "early-window factors cost more than the supervised phase 1 "
+            "returns.\n"
             "- **r02 -> r03 config 4 loops 6 -> 4**: multi-scale changed "
             "which frames promote to keyframes (the loop detector counts\n"
             "  keyframe-archive pairs); correction quality is the metric "
