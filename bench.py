@@ -380,6 +380,12 @@ def main():
         "stream": make_stream_candidate(seq),
         "batch8": make_batch_candidate(B=8),
         "batch32": make_batch_candidate(B=32),
+        # Round 5 (informational, does not replace the pinned 96-frame
+        # headline): a 4x-longer scan amortizes the fixed ~40 ms
+        # dispatch+fetch floor 4x further, exposing the true per-frame
+        # MARGINAL rate (the trip-differential scan marginal measures
+        # ~1.8 ms/frame vs the floor-inclusive ~2.1 of the 96-frame scan).
+        "scan_long": make_scan_candidate(_make_frames(384)),
     }
     fps = bench_interleaved(candidates)
     host_fps = bench_host_loop(seq)
@@ -403,6 +409,7 @@ def main():
                 "slam_scan_fps": round(fps["slam_scan"][0], 2),
                 "batch8_fps": round(fps["batch8"][0], 2),
                 "batch32_fps": round(fps["batch32"][0], 2),
+                "scan_long_fps": round(fps["scan_long"][0], 2),
                 # Online (one dispatch/frame, burst-fetched results) — the
                 # live-camera mode; >= 20 keeps up with the EUROC rate.
                 "host_loop_fps": round(host_fps, 2),

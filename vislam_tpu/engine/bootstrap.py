@@ -207,17 +207,23 @@ def vi_align_window(state: EngineState, R_bc, gravity: float,
     # Re-anchor: replace the window/engine positions with the SCALED SHADOW
     # geometry, and install the aligned velocities. (The shadow shape is
     # the consistently-scaled trajectory; s maps it to metric.)
-    # Round 5 (VERDICT #8): anchored at the trajectory ORIGIN, not the real
-    # window slot 0. The shadow track is continuous from initialization, so
-    # origin + s * (shadow - shadow_origin) reconstructs the METRIC
-    # position of every frame including the corrupt pre-alignment segment —
-    # slot-0 anchoring preserved that segment's accumulated drift as a
-    # permanent offset (the round-4 tail analysis: cold runs froze a
-    # 1.0-1.4 m position error the alignment could never remove). Applies
-    # only fire pre-latch (early), so origin->window chain-scale drift is
-    # bounded.
-    p0 = state.origin_p_wc
-    p_sh0 = state.shadow_origin_p
+    # Round 5 (VERDICT #8): EARLY applies anchor at the trajectory ORIGIN —
+    # the shadow track is continuous from initialization, so
+    # origin + s * (shadow - shadow_origin) reconstructs the metric
+    # position of every frame including the corrupt pre-alignment segment
+    # (slot-0 anchoring froze that segment's drift as a permanent offset;
+    # round-4 tail analysis). Early = before the window has rolled far
+    # (kf_count <= W + 2), where origin- and slot-0-anchoring were
+    # measured bit-identical on cold starts. LATE applies (a run whose
+    # latch never fires, e.g. drifting IMU bias keeps the health residual
+    # above the floor while fits thrash) anchor at the real window slot 0:
+    # a global origin-rebase with a locally-fitted scale imports the whole
+    # accumulated chain drift (measured: drift-bias supervised open loop
+    # 0.77 -> 1.11 with unconditional origin anchoring).
+    W_sl = win.valid.shape[0]
+    early = state.kf_count <= (W_sl + 2)
+    p0 = jnp.where(early, state.origin_p_wc, p[0])
+    p_sh0 = jnp.where(early, state.shadow_origin_p, p_sh[0])
     p_new = p0 + s * (p_sh - p_sh0)
     t_cw_new = -jnp.einsum("wij,wj->wi", win.R_cw, p_new)
     # Velocities: write back only where at least one adjacent interval

@@ -853,11 +853,15 @@ class VIOEngine:
                        >= en.vi_align_min_factors)
                 )
                 if be.vi_factors:
-                    # Two-phase hand-off: once latched, the VI-BA owns
-                    # scale and velocities — continuous supervision there
-                    # would re-balance what the optimizer just balanced
-                    # (the round-3 failure mode).
-                    need_align = need_align & (~new_state.vi_aligned)
+                    # Two-phase hand-off: once the VI-BA is engaged (latch
+                    # OR the promotion-count deadline — see
+                    # engine/refine.py), it owns scale and velocities;
+                    # continuous supervision there would re-balance what
+                    # the optimizer just balanced (the round-3 failure
+                    # mode).
+                    engaged = new_state.vi_aligned | (
+                        new_state.kf_count > be.vi_two_phase_max_kfs)
+                    need_align = need_align & (~engaged)
                 new_state = jax.lax.cond(
                     need_align,
                     lambda s: vi_align_window(

@@ -335,8 +335,16 @@ def refine_window(state: EngineState, cfg: SystemConfig,
         #     that took a warm gentle run from 0.058 to 0.73 m position
         #     error in one apply.
         # GT-scale steps latch vi_aligned at frame one (engine/engine.py),
-        # so this gate is a no-op outside GT-free runs.
-        good = good & state.vi_aligned
+        # so this gate is a no-op outside GT-free runs. The promotion-count
+        # DEADLINE covers runs whose latch never fires (drifting IMU bias
+        # keeps the kinematic residual above the healthy floor forever —
+        # the factors themselves are biased); the full estimator must
+        # still engage, because its online bias states are the cure
+        # (measured: drift-bias ensemble 1.112 without the deadline vs
+        # 0.645 in r04's always-on VI-BA).
+        engaged = state.vi_aligned | (
+            state.kf_count > cfg.backend.vi_two_phase_max_kfs)
+        good = good & engaged
     R_cw_new = jnp.where(good, refined.R, win.R_cw)
     t_cw_new = jnp.where(good, refined.t, win.t_cw)
 

@@ -253,6 +253,17 @@ class BackendConfig:
     # low-excitation runs. Stays 1 by default; the knob is the documented
     # throughput/accuracy trade for throughput-critical deployments.
     refine_stride: int = 1
+    # Two-phase GT-free initialization deadline (round 5): the windowed
+    # VI-BA engages at the linear-alignment LATCH or after this many
+    # keyframe promotions, whichever comes first. The latch can
+    # legitimately never fire — under a DRIFTING IMU bias the kinematic
+    # health residual never reaches the floor (the factors themselves are
+    # biased), and without a deadline the full estimator (whose online
+    # bias states are exactly the cure) never engaged: measured drift-bias
+    # ensemble ATE 1.112 with ends==open_loop identically, vs 0.645 in
+    # r04. Cold starts re-anchor at promotion ~6-10 (frames 11-21), so 20
+    # promotions is comfortably past the window the gating protects.
+    vi_two_phase_max_kfs: int = 20
     vi_w_rot: float = 1e4          # IMU factor precisions (1/dt-scaled)
     vi_w_vel: float = 1e2
     vi_w_pos: float = 1e2
