@@ -357,7 +357,11 @@ class EngineConfig:
     # correction + gravity + keyframe velocities and re-anchors the engine.
     # Round 4: ITERATED — an applied alignment latches only when the fit
     # reaches the healthy floor, so later cleaner windows re-fire and
-    # refine a coarse first re-anchor.
+    # refine a coarse first re-anchor. Round 5: under VI-BA this is phase
+    # 1 of the TWO-PHASE initialization (the window BA stays inert until
+    # the latch or the vi_two_phase_max_kfs deadline; engine/refine.py),
+    # early applies re-base from the trajectory origin, and the emitted
+    # prefix can be retro-smoothed from the shadow track (eval/smooth.py).
     # Principled replacement for the reference's GT scale injection
     # (/root/reference/src/VISystem.cpp:523-527).
     vi_align_bootstrap: bool = True
