@@ -73,8 +73,9 @@ def test_checkpoint_legacy_migration(tmp_path):
     drop = [i for i, p in enumerate(paths)
             if ("vi_aligned" in p or "kf_depths" in p
                 or "kf_depth_valid" in p or "shadow_" in p
-                or "origin_p_wc" in p or "bootstrap_applies" in p)]
-    assert len(drop) == 10  # r3: vi_aligned; r4: depths+shadow(6); r5: 3
+                or "origin_p_wc" in p or "bootstrap_applies" in p
+                or "vi_engaged" in p)]
+    assert len(drop) == 11  # r3: vi_aligned; r4: depths+shadow(6); r5: 4
     n = sum(1 for k in data if k.startswith("leaf_"))
     legacy = {"__frame_index": data["__frame_index"]}
     j = 0

@@ -75,7 +75,11 @@ def test_cli_gauge_flag(tmp_path):
     different trajectories on the same seed."""
     out_marg = str(tmp_path / "marg.csv")
     out_ends = str(tmp_path / "ends.csv")
-    common = ["--synthetic", "30", "--imu-scale", "--vi-ba"]
+    # 60 frames (~38 promotions): the round-5-late engagement latch keeps
+    # the window BA inert until healthy+excitation or the kf-20 deadline —
+    # a 30-frame run (~19 promotions) never engages either gauge and the
+    # trajectories are legitimately identical.
+    common = ["--synthetic", "60", "--imu-scale", "--vi-ba"]
     r = _run_cli([*common, "--output", out_marg, "--gauge", "marg"])
     assert r.returncode == 0, r.stderr[-2000:]
     r = _run_cli([*common, "--output", out_ends, "--gauge", "ends"])

@@ -3,11 +3,13 @@
 Round 4 shipped the shadow-chain supervision for open loop only; under the
 default VI-BA mode the bootstrap was statically skipped and COLD starts
 (v0 = 0) were the system's worst path (ATE 1.07-1.86 m). The round-5
-composition makes the windowed VI-BA inert until the linear VI alignment
-latches (phase 1 == the measured supervised open loop), then hands off.
+composition makes the windowed VI-BA inert until ENGAGEMENT
+(state.vi_engaged: healthy + excitation able to carry scale in the BA, or
+first-healthy on bootstrapped runs, or the kf-20 deadline — round-5
+late-2; phase 1 == the measured supervised open loop), then hands off.
 Measured (scripts/eval_cold_start.py, 60-frame oracles): cold VI-BA
-1.07-1.86 -> 0.42-0.77 on all four scenarios; warm VI-BA improved
-(0.37/0.41/0.28/0.24 -> 0.24/0.18/0.26/0.20).
+1.07-1.86 -> 0.43-0.77 on all four scenarios; warm VI-BA improved
+(0.37/0.41/0.28/0.24 -> 0.20/0.16/0.27/0.24).
 """
 
 import dataclasses
@@ -85,6 +87,21 @@ def test_warm_vi_ba_not_regressed_by_two_phase():
     ate_warm, state = _run(seq, cold=False)
     assert bool(state.vi_aligned)
     assert ate_warm < 0.5, f"warm VI-BA ATE {ate_warm}"
+
+
+def test_engagement_excitation_bounds_gentle_scale_drift():
+    """Round-5 late fix: on warm LOW-excitation runs the engaged window BA
+    slowly loses global scale (its gauge pins poses; IMU scale
+    observability is weak below ~1.5 m/s velocity spread), so engagement
+    waits for vi_engage_min_excitation while the supervision keeps the
+    open-loop semantics. Engaging at first-healthy instead measured 0.418
+    on this exact run — worse than its own phase-1 open loop (0.382);
+    with the excitation-gated engagement it is 0.355."""
+    seq = make_synthetic_sequence(
+        SyntheticConfig(n_frames=80, n_landmarks=300, seed=0))
+    ate, state = _run(seq, cold=False)
+    assert bool(state.vi_aligned)
+    assert ate < 0.40, f"gentle-80 warm VI-BA ATE {ate}"
 
 
 def test_deadline_engages_vi_ba_without_latch():

@@ -60,7 +60,8 @@ def vi_align_window(state: EngineState, R_bc, gravity: float,
                     min_gravity_cos: float = 0.94,
                     min_excitation: float = 0.5,
                     resid_floor: float = 0.007,
-                    resid_ratio: float = 1.6) -> EngineState:
+                    resid_ratio: float = 1.6,
+                    engage_min_excitation: float = 1.5) -> EngineState:
     """Attempt the linear alignment on the current window.
 
     Outcomes (all decided by where-gating, fixed shapes):
@@ -174,6 +175,37 @@ def vi_align_window(state: EngineState, R_bc, gravity: float,
     # once motion actually observes the scale.
     healthy = (n_fac >= min_factors) & jnp.isfinite(r_cur) \
         & (r_cur <= resid_floor) & (excitation >= min_excitation)
+    # ENGAGEMENT criterion (round 5 late, state.vi_engaged; only consumed
+    # under VI-BA): healthy AND excitation high enough that the VI-BA's
+    # IMU factors can OWN global scale (engage_min_excitation, default
+    # 1.5 — above the 0.5 fit floor). Mechanism, measured on the
+    # 5-scenario ensemble: at low excitation the windowed BA cannot hold
+    # global scale (its gauge pins two poses; IMU scale observability is
+    # weak), while the shadow-chain full re-anchor can — so handing off at
+    # first-healthy (exc 0.5-0.7) leaves scale drift the engaged BA never
+    # corrects (gentle0 'ends' 0.418, WORSE than its own phase-1 open loop
+    # 0.382; the supervision's later full applies at exc >= 1.0 are what
+    # recover it: deadline-only engagement measured 0.294). At high
+    # excitation the BA wins decisively (aggr3 0.198 engaged-early vs
+    # 0.256 deadline-only), so engagement must not wait for the deadline
+    # either. Two FALSIFIED alternatives, both measured: (a) engagement on
+    # kinematic consistency alone (r_cur <= floor, no excitation) latches
+    # before a DRIFTING gyro bias shows up in r_cur (drift-bias 'ends'
+    # 0.352 -> 0.733); (b) a rotation self-consistency residual (factor
+    # dR, bias-corrected at the current estimate, vs the vision rotation
+    # chain) does not separate the regimes — it is dominated by vision
+    # rotation noise, and the online gyro EMA tracks the drift (gentle0
+    # r_rot 0.0033-0.0044 vs drift-bias 0.0019-0.0045).
+    # BOOTSTRAPPED runs (>= 1 full apply — cold starts) engage at first
+    # healthy regardless of excitation: the supervision has already
+    # rewritten the trajectory and the iterated re-alignment only
+    # declares healthy once the state STAYS consistent, so first-healthy
+    # is the measured-best hand-off there (cold VI-BA 0.737/0.770/0.418/
+    # 0.443 engaging at healthy vs 0.835/0.815/0.423/0.422 waiting for
+    # excitation). Never-applied (warm) runs wait for the excitation
+    # floor — their phase 1 is a bit-exact no-op, so waiting is free.
+    engage = healthy & ((excitation >= engage_min_excitation)
+                        | (state.bootstrap_applies > 0))
     # Unhealthy state + a fit that explains the window decisively better ->
     # apply. A corrupted window can defeat the (s, v) model entirely (both
     # residuals large, ratio ~1) — then neither apply nor finish: retry at
@@ -188,11 +220,21 @@ def vi_align_window(state: EngineState, R_bc, gravity: float,
     # improvement at 60 frames from velocity supervision). Velocity is the
     # state whose error COMPOUNDS in open loop — correcting it stops the
     # drift without touching history.
+    # Apply-strength semantics are IDENTICAL in open loop and under VI-BA
+    # (round 5 late, measured): full applies until the first healthy
+    # determination (vi_aligned), velocity-only after. Two VI-BA-specific
+    # alternatives were built and FALSIFIED on the ensemble: (a) full
+    # applies until ENGAGEMENT (gentle2 60 f warm 0.18 -> 0.36 — a full
+    # apply with a drift-polluted fit scale s=0.824 fired where the
+    # velocity-only downgrade was the right call); (b) decisive-only
+    # post-engagement applies at 2x the floor (gentle0/gentle2 80 f
+    # 0.418/0.309 -> 0.585/0.484 — the fit's scale under a live BA is
+    # unreliable, independently reconfirming the round-3 failure).
     apply_full = apply & (~state.vi_aligned)
     # Post-latch corrections wait for MEANINGFUL drift (2x the floor):
-    # correcting a barely-inconsistent state trades real trajectory for
-    # fit noise (measured: 40-frame warm 0.125 -> 0.148 with the plain
-    # floor; the 60-frame wins survive the higher trigger).
+    # correcting a barely-inconsistent state trades real trajectory
+    # for fit noise (measured: 40-frame warm 0.125 -> 0.148 with the
+    # plain floor; the 60-frame wins survive the higher trigger).
     apply_vel = apply & (
         (~state.vi_aligned) | (r_cur > 2.0 * resid_floor))
     import os as _os
@@ -200,9 +242,10 @@ def vi_align_window(state: EngineState, R_bc, gravity: float,
         jax.debug.print(
             "align: nfac={n} exc={e:.3f} s={s:.3f} s_real={sr:.3f} "
             "r_fit={rf:.4f} r_cur={rc:.4f} trust={t} healthy={h} "
-            "applyF={a} applyV={av}",
+            "engage={g} applyF={a} applyV={av}",
             n=n_fac, e=excitation, s=s, sr=s_real, rf=r_fit, rc=r_cur,
-            t=trustworthy, h=healthy, a=apply_full, av=apply_vel)
+            t=trustworthy, h=healthy, g=engage, a=apply_full,
+            av=apply_vel)
 
     # Re-anchor: replace the window/engine positions with the SCALED SHADOW
     # geometry, and install the aligned velocities. (The shadow shape is
@@ -266,6 +309,7 @@ def vi_align_window(state: EngineState, R_bc, gravity: float,
         # healthy state is impossible: apply requires r_cur above the
         # floor AND a decisive model-comparison win every time.
         vi_aligned=state.vi_aligned | healthy,
+        vi_engaged=state.vi_engaged | engage,
         bootstrap_applies=state.bootstrap_applies
         + jnp.where(apply_full, 1, 0).astype(jnp.int32),
     )

@@ -809,6 +809,17 @@ class VIOEngine:
                 # (engine/refine.py masks IMU factors on ~vi_aligned) a
                 # no-op for GT-scale runs.
                 vi_aligned=state.vi_aligned | (gt_t_norm >= 0.0),
+                # Engagement latch: GT-scale steps are metric by
+                # construction; under VI-BA the promotion-count DEADLINE
+                # also engages (a run whose healthy latch never fires —
+                # drifting IMU bias — must still hand scale/velocity to
+                # the full estimator, whose online bias states are the
+                # cure; post-deadline supervision then drops to the
+                # decisive-only gate like any engaged run).
+                vi_engaged=state.vi_engaged | (gt_t_norm >= 0.0) | (
+                    (state.kf_count + is_kf.astype(jnp.int32)
+                     > be.vi_two_phase_max_kfs)
+                    if be.vi_factors else False),
                 kf_depths=new_kf_depths,
                 kf_depth_valid=new_kf_depth_valid,
                 shadow_win_p=new_shadow_win,
@@ -853,21 +864,23 @@ class VIOEngine:
                        >= en.vi_align_min_factors)
                 )
                 if be.vi_factors:
-                    # Two-phase hand-off: once the VI-BA is engaged (latch
-                    # OR the promotion-count deadline — see
-                    # engine/refine.py), it owns scale and velocities;
-                    # continuous supervision there would re-balance what
-                    # the optimizer just balanced (the round-3 failure
-                    # mode).
-                    engaged = new_state.vi_aligned | (
-                        new_state.kf_count > be.vi_two_phase_max_kfs)
-                    need_align = need_align & (~engaged)
+                    # Two-phase hand-off: once the VI-BA is engaged
+                    # (vi_engaged: healthy + engagement excitation, the
+                    # promotion-count deadline, or a GT-scale step), it
+                    # owns scale and velocities; continuous supervision
+                    # there would re-balance what the optimizer just
+                    # balanced (the round-3 failure mode, re-confirmed by
+                    # the falsified post-engagement-apply variants — see
+                    # bootstrap.py). Phase 1 supervises with the SAME
+                    # full-then-velocity-only semantics as open loop.
+                    need_align = need_align & (~new_state.vi_engaged)
                 new_state = jax.lax.cond(
                     need_align,
                     lambda s: vi_align_window(
                         s, R_bc, en.gravity,
                         min_factors=en.vi_align_min_factors,
-                        min_excitation=en.vi_align_min_excitation),
+                        min_excitation=en.vi_align_min_excitation,
+                        engage_min_excitation=en.vi_engage_min_excitation),
                     lambda s: s,
                     new_state,
                 )

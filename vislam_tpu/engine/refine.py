@@ -317,12 +317,14 @@ def refine_window(state: EngineState, cfg: SystemConfig,
     )
     if be.vi_factors and cfg.engine.vi_align_bootstrap \
             and not cfg.engine.vision_rotation:
-        # TWO-PHASE initialization (round 5, VERDICT #1): in GT-free runs
-        # the windowed VI-BA is INERT until the linear VI alignment latches
-        # (state.vi_aligned) — phase 1 is exactly the round-4 supervised
-        # open loop. Every BA->state write channel below flows through
-        # `good` (pose/velocity/marg/bias are all *_ok = good & ...), so
-        # one gate suffices. Rationale, both directions measured:
+        # TWO-PHASE initialization (round 5, VERDICT #1 + late-2): in
+        # GT-free runs the windowed VI-BA is INERT until the ENGAGEMENT
+        # latch (state.vi_engaged: healthy AND excitation >=
+        # vi_engage_min_excitation, or first-healthy on bootstrapped runs
+        # — engine/bootstrap.py) — phase 1 is exactly the supervised open
+        # loop. Every BA->state write channel below flows through `good`
+        # (pose/velocity/marg/bias are all *_ok = good & ...), so one
+        # gate suffices. Rationale, all directions measured:
         #   - IMU factors on a pre-alignment window (cold start: per-step
         #     scale differently wrong) drag the optimum to a compromise the
         #     supervision cannot diagnose (round 4: cold VI-BA 1.07-1.86 m,
@@ -334,7 +336,11 @@ def refine_window(state: EngineState, cfg: SystemConfig,
         #     0.007 floor at excitation 0.56), firing a spurious re-anchor
         #     that took a warm gentle run from 0.058 to 0.73 m position
         #     error in one apply.
-        # GT-scale steps latch vi_aligned at frame one (engine/engine.py),
+        #   - Engaging at FIRST healthy (exc ~0.5, the r05 sealed design)
+        #     lets the engaged BA's slow low-excitation scale drift run
+        #     unbounded once supervision dies (gentle0 warm 0.24 at 60 f
+        #     -> 0.418 at 80 f; 0.355 with the excitation-gated latch).
+        # GT-scale steps latch vi_engaged at frame one (engine/engine.py),
         # so this gate is a no-op outside GT-free runs. The promotion-count
         # DEADLINE covers runs whose latch never fires (drifting IMU bias
         # keeps the kinematic residual above the healthy floor forever —
@@ -342,7 +348,7 @@ def refine_window(state: EngineState, cfg: SystemConfig,
         # still engage, because its online bias states are the cure
         # (measured: drift-bias ensemble 1.112 without the deadline vs
         # 0.645 in r04's always-on VI-BA).
-        engaged = state.vi_aligned | (
+        engaged = state.vi_engaged | (
             state.kf_count > cfg.backend.vi_two_phase_max_kfs)
         good = good & engaged
     R_cw_new = jnp.where(good, refined.R, win.R_cw)

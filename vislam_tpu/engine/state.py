@@ -156,6 +156,19 @@ class EngineState(NamedTuple):
     # Consumed by the host-side retroactive bootstrap smoothing
     # (eval/smooth.py, CLI): a run that never applied must not be smoothed.
     bootstrap_applies: jnp.ndarray  # () int32
+    # Two-phase ENGAGEMENT latch (round 5, distinct from vi_aligned): the
+    # state is kinematically CONSISTENT with the window's IMU factors
+    # (r_cur <= floor), with NO excitation requirement. Excitation gates
+    # trusting the alignment FIT's scale (degenerate under near-constant
+    # velocity) — but engaging the VI-BA only requires that the factors
+    # not fight the state, which r_cur measures directly. On warm gentle
+    # runs this latches ~4 promotions before vi_aligned (excitation builds
+    # slowly), recovering the always-on VI-BA's early-window refinement
+    # (measured: gentle0 'ends' 0.418 with the excitation-gated latch —
+    # worse than its own phase-1 open loop at 0.382). vi_aligned keeps its
+    # strict semantics ("scale is trusted/metric") for the open-loop
+    # supervision's post-latch downgrade to velocity-only.
+    vi_engaged: jnp.ndarray      # () bool
 
 
 def init_window(W: int, K: int, D: int,
@@ -260,4 +273,5 @@ def init_state(
         origin_p_wc=jnp.asarray(p_wc0, jnp.float32),
         shadow_origin_p=jnp.asarray(p_wc0, jnp.float32),
         bootstrap_applies=jnp.zeros((), jnp.int32),
+        vi_engaged=jnp.zeros((), bool),
     )

@@ -41,6 +41,10 @@ _ADDED_FIELD_DEFAULTS = {
     "origin_p_wc": lambda K, W: np.zeros((3,), np.float32),
     "shadow_origin_p": lambda K, W: np.zeros((3,), np.float32),
     "bootstrap_applies": lambda K, W: np.asarray(0, np.int32),
+    # Round 5 (late): two-phase engagement latch. False = a resumed legacy
+    # GT-free run re-derives engagement at its next promotions, exactly as
+    # a fresh run would.
+    "vi_engaged": np.asarray(False),
 }
 
 

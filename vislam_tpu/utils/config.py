@@ -370,6 +370,20 @@ class EngineConfig:
     # across the window) below which the alignment fit is untrusted (the
     # (scale, along-track velocity) degeneracy; BENCH_NOTES round 3).
     vi_align_min_excitation: float = 0.5
+    # VI-BA ENGAGEMENT excitation floor (round 5 late): the vi_engaged
+    # latch fires at healthy + THIS excitation (above the 0.5 healthy/fit
+    # floor). Between first-healthy and engagement the supervision keeps
+    # running with its normal open-loop semantics (velocity-only applies
+    # post-healthy) and the window BA stays inert; at engagement the full
+    # estimator owns scale/velocity and supervision stops. Rationale,
+    # both directions measured on the ensemble: engaging at first healthy
+    # (exc ~0.5-0.7) hands scale to a BA that cannot hold it at low
+    # excitation (gentle0 80 f 'ends' 0.418, worse than its own phase-1
+    # open loop 0.382); never engaging early loses the BA's short-horizon
+    # accuracy on dynamic runs (aggr3 0.198 engaged vs 0.256 deadline-
+    # only). The deadline (vi_two_phase_max_kfs) still covers runs whose
+    # healthy latch never fires (drifting IMU bias).
+    vi_engage_min_excitation: float = 1.5
 
 
 @dataclasses.dataclass(frozen=True)
